@@ -1,0 +1,285 @@
+"""Functional NN definitions: GAE, PPO losses, and masking helpers.
+
+JAX counterpart of ``/root/reference/src/rl8/nn/functional.py``. The
+reference computes GAE with a reverse-time *Python* loop over the horizon
+(``nn/functional.py:107-115``); here it is a single ``lax.scan`` so the
+whole advantage computation compiles into the jitted train step. Losses
+are pure functions over arrays — no TensorDicts.
+
+Unless noted otherwise, time-major layout ``[T, B, ...]`` is used for
+sequence inputs to match the scan-friendly buffer layout of the
+algorithms.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import Distribution
+
+__all__ = [
+    "binary_mask_to_float_mask",
+    "float_mask_to_binary_mask",
+    "generalized_advantage_estimate",
+    "mask_from_lengths",
+    "masked_avg",
+    "masked_categorical_sample",
+    "masked_log_softmax",
+    "masked_max",
+    "ppo_losses",
+    "skip_connection",
+]
+
+_FMIN = float(jnp.finfo(jnp.float32).min)
+_FMAX = float(jnp.finfo(jnp.float32).max)
+
+
+def binary_mask_to_float_mask(mask: jax.Array, /) -> jax.Array:
+    """Convert ``0``/``1`` mask elements to ``-inf``/``0`` respectively
+    (``/root/reference/src/rl8/nn/functional.py:13-28``)."""
+    return jnp.where(mask == 0, -jnp.inf, 0.0).astype(jnp.float32)
+
+
+def float_mask_to_binary_mask(mask: jax.Array, /) -> jax.Array:
+    """Convert ``0``/``-inf`` mask elements to ``True``/``False``
+    (``/root/reference/src/rl8/nn/functional.py:31-47``)."""
+    return mask == 0.0
+
+
+def generalized_advantage_estimate(
+    rewards: jax.Array,
+    values: jax.Array,
+    /,
+    *,
+    gae_lambda: float = 0.95,
+    gamma: float = 0.95,
+    normalize_advantages: bool = True,
+    return_returns: bool = True,
+    reward_scale: jax.Array | float = 1.0,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Compute Generalized Advantage Estimates (and, optionally, returns)
+    from rewards and value estimates.
+
+    Functional, scan-based counterpart of
+    ``/root/reference/src/rl8/nn/functional.py:50-123``: the reference's
+    reverse Python loop over ``T`` becomes one ``lax.scan`` with
+    ``reverse=True``.
+
+    Args:
+        rewards: Time-major rewards ``[T, B, 1]``.
+        values: Time-major value estimates ``[T + 1, B, 1]`` (the final
+            entry is the bootstrap value).
+        gae_lambda: GAE bias/variance trade-off parameter.
+        gamma: Discount factor.
+        normalize_advantages: Whether to standardize advantages with the
+            batch mean/std before returning (``functional.py:118-122``).
+        return_returns: Whether to also return ``advantages + values[:-1]``.
+        reward_scale: Scale rewards by ``1 / (reward_scale + 1e-8)``
+            before estimation (``functional.py:106``).
+
+    Returns:
+        ``(advantages [T, B, 1], returns [T, B, 1] | None)``. Note the
+        returned ``returns`` use the *unnormalized* advantages, matching
+        the reference's ordering (returns computed before normalization,
+        ``functional.py:116-122``).
+
+    """
+    rewards = rewards / (reward_scale + 1e-8)
+    deltas = rewards + gamma * values[1:] - values[:-1]
+
+    def _scan(prev_advantage: jax.Array, delta: jax.Array) -> tuple[jax.Array, jax.Array]:
+        advantage = delta + gamma * gae_lambda * prev_advantage
+        return advantage, advantage
+
+    init = jnp.zeros_like(deltas[0])
+    _, advantages = jax.lax.scan(_scan, init, deltas, reverse=True)
+
+    returns = advantages + values[:-1] if return_returns else None
+
+    if normalize_advantages:
+        mean = jnp.mean(advantages)
+        std = jnp.std(advantages)
+        advantages = (advantages - mean) / (std + 1e-8)
+    return advantages, returns
+
+
+def mask_from_lengths(x: jax.Array, lengths: jax.Array, /) -> jax.Array:
+    """Sequence mask of shape ``[B, T]`` that's ``True`` for valid values
+    according to ``lengths [B]``
+    (``/root/reference/src/rl8/nn/functional.py:126-144``)."""
+    B, T = x.shape[:2]
+    rng = jnp.arange(T)[None, :]
+    return rng < lengths.astype(jnp.int32).reshape(-1, 1)
+
+
+def _broadcast_mask(mask: jax.Array, x: jax.Array) -> jax.Array:
+    while mask.ndim < x.ndim:
+        mask = mask[..., None]
+    return mask
+
+
+def masked_avg(
+    x: jax.Array,
+    /,
+    *,
+    mask: None | jax.Array = None,
+    dim: int = 1,
+    keepdim: bool = False,
+) -> jax.Array:
+    """Masked average of ``x`` along ``dim``; useful for pooling padded
+    features (``/root/reference/src/rl8/nn/functional.py:147-179``)."""
+    if mask is not None:
+        mask = _broadcast_mask(mask, x).astype(x.dtype)
+        avg = jnp.sum(mask * x, axis=dim, keepdims=True) / jnp.sum(
+            mask, axis=dim, keepdims=True
+        )
+    else:
+        avg = jnp.mean(x, axis=dim, keepdims=True)
+    if not keepdim:
+        avg = jnp.squeeze(avg, axis=dim)
+    return avg
+
+
+def masked_categorical_sample(
+    x: jax.Array,
+    /,
+    *,
+    key: jax.Array,
+    mask: None | jax.Array = None,
+    dim: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Masked categorical sampling of logits ``x``
+    (``/root/reference/src/rl8/nn/functional.py:182-204``).
+
+    Takes an explicit PRNG ``key`` (JAX convention). Returns the sampled
+    logits and their indices along ``dim``.
+    """
+    if mask is not None:
+        mask = _broadcast_mask(mask, x)
+        x = x + jnp.clip(jnp.log(mask.astype(x.dtype)), _FMIN, _FMAX)
+    samples = jax.random.categorical(key, x, axis=dim)[..., None]
+    # Move the sampled index to `dim` for take_along_axis.
+    samples = jnp.expand_dims(jnp.squeeze(samples, -1), axis=dim)
+    return jnp.take_along_axis(x, samples, axis=dim), samples
+
+
+def masked_log_softmax(
+    x: jax.Array, /, *, mask: None | jax.Array = None, dim: int = -1
+) -> jax.Array:
+    """Masked log-softmax along ``dim``
+    (``/root/reference/src/rl8/nn/functional.py:207-228``)."""
+    if mask is not None:
+        mask = _broadcast_mask(mask, x)
+        x = x + jnp.clip(jnp.log(mask.astype(x.dtype)), _FMIN, _FMAX)
+    return jax.nn.log_softmax(x, axis=dim)
+
+
+def masked_max(
+    x: jax.Array, /, *, mask: None | jax.Array = None, dim: int = 1
+) -> tuple[jax.Array, jax.Array]:
+    """Masked max of ``x`` along ``dim`` plus argmax indices
+    (``/root/reference/src/rl8/nn/functional.py:231-256``)."""
+    if mask is not None:
+        mask = _broadcast_mask(mask, x)
+        x = jnp.where(mask.astype(bool), x, _FMIN)
+    idx = jnp.argmax(x, axis=dim, keepdims=True)
+    return jnp.take_along_axis(x, idx, axis=dim), idx
+
+
+def _smooth_l1(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Elementwise smooth-L1 (Huber, beta=1) matching ``F.smooth_l1_loss``."""
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+
+
+def ppo_losses(
+    buffer_batch: dict[str, Any],
+    values: jax.Array,
+    sample_distribution: Distribution,
+    /,
+    *,
+    clip_param: float = 0.2,
+    dual_clip_param: None | float = 5.0,
+    entropy_coeff: float | jax.Array = 0.0,
+    vf_clip_param: float = 1.0,
+    vf_coeff: float = 1.0,
+) -> dict[str, jax.Array]:
+    """Proximal Policy Optimization losses: dual-clipped policy loss,
+    clamped smooth-L1 value loss, optional entropy bonus, and their total.
+
+    Mirrors ``/root/reference/src/rl8/nn/functional.py:259-363`` exactly,
+    including the dual-clip branch for negative advantages and the
+    ``vf_coeff * vf - policy - entropy_coeff * entropy`` total.
+
+    Args:
+        buffer_batch: Mapping with ``"actions"``, ``"advantages"``,
+            ``"logp"`` and ``"returns"`` arrays of leading shape ``[B]``.
+        values: Current value estimates ``[B, 1]`` from the policy sample.
+        sample_distribution: Distribution built from the *current* model
+            features, used for the policy and entropy losses.
+        entropy_coeff: May be a traced scalar (scheduled per step). When
+            it is a static Python ``0.0`` the entropy term is skipped
+            entirely.
+
+    Returns:
+        ``{"entropy", "policy", "vf", "total"}`` scalar losses.
+
+    """
+    from ..data import DataKeys
+
+    p_ratio = jnp.exp(
+        sample_distribution.logp(buffer_batch[DataKeys.ACTIONS])
+        - buffer_batch[DataKeys.LOGP]
+    )
+    vf_loss = jnp.mean(
+        jnp.clip(
+            _smooth_l1(values, buffer_batch[DataKeys.RETURNS]),
+            0.0,
+            vf_clip_param,
+        )
+    )
+    advantages = buffer_batch[DataKeys.ADVANTAGES]
+    surr1 = advantages * p_ratio
+    surr2 = advantages * jnp.clip(p_ratio, 1 - clip_param, 1 + clip_param)
+    if dual_clip_param:
+        clip1 = jnp.minimum(surr1, surr2)
+        clip2 = jnp.maximum(clip1, dual_clip_param * advantages)
+        policy_loss = jnp.mean(jnp.where(advantages < 0, clip2, clip1))
+    else:
+        policy_loss = jnp.mean(jnp.minimum(surr1, surr2))
+    total_loss = vf_coeff * vf_loss - policy_loss
+    skip_entropy = isinstance(entropy_coeff, float) and entropy_coeff == 0.0
+    if not skip_entropy:
+        entropy_loss = jnp.mean(sample_distribution.entropy())
+        total_loss = total_loss - entropy_coeff * entropy_loss
+    else:
+        entropy_loss = jnp.asarray(0.0)
+    return {
+        "entropy": entropy_loss,
+        "policy": policy_loss,
+        "vf": vf_loss,
+        "total": total_loss,
+    }
+
+
+def skip_connection(
+    x: jax.Array,
+    y: jax.Array,
+    /,
+    *,
+    kind: None | str = "cat",
+    dim: int = -1,
+) -> jax.Array:
+    """Combine ``x`` and ``y`` by residual sum, concatenation, or pass-through
+    (``/root/reference/src/rl8/nn/functional.py:366-400``)."""
+    match kind:
+        case "residual":
+            return x + y
+        case "cat":
+            return jnp.concatenate([x, y], axis=dim)
+        case None:
+            return y
+    raise ValueError(f"No skip connection type for {kind}.")

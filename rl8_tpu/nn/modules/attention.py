@@ -1,0 +1,276 @@
+"""Attention modules.
+
+Flax counterpart of ``/root/reference/src/rl8/nn/modules/attention.py``,
+built on ``nn.MultiHeadDotProductAttention`` (which XLA lowers onto the
+MXU) instead of ``torch.nn.MultiheadAttention``.
+
+Mask conventions (consistent across this module):
+
+- ``key_padding_mask [B, K]``: ``True`` marks PADDED/INVALID key
+  positions (same as the reference and ``views.PaddedRollingWindow``).
+- ``attention_mask [Q, K]``: ``True`` marks pairs that MAY attend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..functional import masked_log_softmax
+from .activations import get_activation
+from .skip import SequentialSkipConnection
+
+__all__ = ["PointerNetwork", "CrossAttention", "SelfAttention", "SelfAttentionStack"]
+
+
+class PointerNetwork(nn.Module):
+    """3D attention for selecting the next encoder element to append to a
+    decoder sequence (`Pointer Networks <https://arxiv.org/abs/1506.03134>`_;
+    reference: ``attention.py:14-79``).
+
+    Args:
+        embed_dim: Feature dimension of the encoders/decoders.
+
+    """
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(
+        self,
+        decoder_out: jax.Array,
+        encoder_out: jax.Array,
+        mask: None | jax.Array = None,
+    ) -> jax.Array:
+        """Return logits ``[B, D, E]`` scoring each encoder element per
+        decoder element.
+
+        Args:
+            decoder_out: ``[B, D, C]`` decoder features.
+            encoder_out: ``[B, E, C]`` encoder features.
+            mask: ``[B, D, E]`` selectability mask (``True`` = selectable).
+
+        """
+        w1 = nn.Dense(self.embed_dim, use_bias=False, name="W1")
+        w2 = nn.Dense(self.embed_dim, use_bias=False, name="W2")
+        vt = nn.Dense(1, use_bias=False, name="VT")
+        # [B, 1, E, C] + [B, D, 1, C] -> [B, D, E, C]
+        encoder_proj = w1(encoder_out)[:, None, :, :]
+        decoder_proj = w2(decoder_out)[:, :, None, :]
+        weights = vt(jnp.tanh(decoder_proj + encoder_proj))[..., 0]
+        return masked_log_softmax(weights, mask=mask, dim=-1)
+
+
+def _combine_masks(
+    B: int,
+    Q: int,
+    K: int,
+    key_padding_mask: None | jax.Array,
+    attention_mask: None | jax.Array,
+) -> None | jax.Array:
+    """Build a flax attention mask ``[B, 1, Q, K]`` (True = attend)."""
+    mask = None
+    if key_padding_mask is not None:
+        mask = ~key_padding_mask.astype(bool)[:, None, None, :]
+        mask = jnp.broadcast_to(mask, (B, 1, Q, K))
+    if attention_mask is not None:
+        am = attention_mask.astype(bool)[None, None, :, :]
+        mask = am if mask is None else (mask & am)
+    return mask
+
+
+class _AttentionBlock(nn.Module):
+    """Shared attention + feedforward + skip structure used by both
+    cross- and self-attention (reference: ``attention.py:82-195``)."""
+
+    embed_dim: int
+    num_heads: int = 2
+    hidden_dim: int = 128
+    activation_fn: str = "relu"
+    attention_dropout: float = 0.0
+    hidden_dropout: float = 0.0
+    skip_kind: None | str = "cat"
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jax.Array,
+        kv: jax.Array,
+        key_padding_mask: None | jax.Array = None,
+        attention_mask: None | jax.Array = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        q_normed = nn.LayerNorm(name="q_norm")(q)
+        kv_normed = nn.LayerNorm(name="kv_norm")(kv) if kv is not q else q_normed
+        mask = _combine_masks(
+            q.shape[0], q.shape[1], kv.shape[1], key_padding_mask, attention_mask
+        )
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dropout_rate=self.attention_dropout,
+            deterministic=deterministic,
+            name="attention",
+        )(q_normed, kv_normed, kv_normed, mask=mask)
+
+        def make_mlp() -> nn.Module:
+            act = get_activation(self.activation_fn)
+            block = self
+
+            class _FFN(nn.Module):
+                @nn.compact
+                def __call__(self, x: jax.Array) -> jax.Array:
+                    x = nn.LayerNorm()(x)
+                    x = nn.Dense(block.hidden_dim)(x)
+                    x = act(x)
+                    x = nn.Dropout(
+                        rate=block.hidden_dropout, deterministic=deterministic
+                    )(x)
+                    return nn.Dense(x.shape[-1] and self._out_dim)(x)
+
+            # Output dim of the FFN matches its input dim (the skip width).
+            class _FFNSized(_FFN):
+                _out_dim: int = (
+                    2 * block.embed_dim if block.skip_kind == "cat" else block.embed_dim
+                )
+
+            return _FFNSized()
+
+        return SequentialSkipConnection(
+            embed_dim=self.embed_dim,
+            kind=self.skip_kind,
+            layers=(make_mlp,),
+            name="skip_connection",
+        )(q, attn)
+
+
+class CrossAttention(nn.Module):
+    """Multihead cross-attention mapping keys of length ``K`` to a query of
+    length ``Q`` (reference: ``attention.py:82-195``).
+
+    Args:
+        embed_dim: Key and query feature dimension.
+        num_heads: Number of attention heads.
+        hidden_dim: Hidden features of the post-attention feedforward.
+        activation_fn: Activation function ID.
+        attention_dropout: Dropout within attention heads.
+        hidden_dropout: Feedforward dropout.
+        skip_kind: Skip connection kind between attention and feedforward.
+
+    """
+
+    embed_dim: int
+    num_heads: int = 2
+    hidden_dim: int = 128
+    activation_fn: str = "relu"
+    attention_dropout: float = 0.0
+    hidden_dropout: float = 0.0
+    skip_kind: None | str = "cat"
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jax.Array,
+        kv: jax.Array,
+        key_padding_mask: None | jax.Array = None,
+        attention_mask: None | jax.Array = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """``q [B, Q, E]``, ``kv [B, K, E]`` -> ``[B, Q, E]``."""
+        return _AttentionBlock(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            hidden_dim=self.hidden_dim,
+            activation_fn=self.activation_fn,
+            attention_dropout=self.attention_dropout,
+            hidden_dropout=self.hidden_dropout,
+            skip_kind=self.skip_kind,
+            name="block",
+        )(q, kv, key_padding_mask, attention_mask, deterministic=deterministic)
+
+
+class SelfAttention(nn.Module):
+    """Multihead self-attention over a sequence (reference:
+    ``attention.py:198-303``). Same args as :class:`CrossAttention`."""
+
+    embed_dim: int
+    num_heads: int = 2
+    hidden_dim: int = 128
+    activation_fn: str = "relu"
+    attention_dropout: float = 0.0
+    hidden_dropout: float = 0.0
+    skip_kind: None | str = "cat"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        key_padding_mask: None | jax.Array = None,
+        attention_mask: None | jax.Array = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """``x [B, X, E]`` -> ``[B, X, E]``."""
+        return _AttentionBlock(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            hidden_dim=self.hidden_dim,
+            activation_fn=self.activation_fn,
+            attention_dropout=self.attention_dropout,
+            hidden_dropout=self.hidden_dropout,
+            skip_kind=self.skip_kind,
+            name="block",
+        )(x, x, key_padding_mask, attention_mask, deterministic=deterministic)
+
+
+class SelfAttentionStack(nn.Module):
+    """Stacked self-attention layers (reference: ``attention.py:306-358``).
+
+    Args:
+        embed_dim/num_heads/...: Configuration for each layer.
+        num_layers: Number of layers.
+        share_parameters: Whether all layers share one set of parameters.
+
+    """
+
+    embed_dim: int
+    num_layers: int = 2
+    num_heads: int = 2
+    hidden_dim: int = 128
+    activation_fn: str = "relu"
+    attention_dropout: float = 0.0
+    hidden_dropout: float = 0.0
+    skip_kind: None | str = "cat"
+    share_parameters: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        key_padding_mask: None | jax.Array = None,
+        attention_mask: None | jax.Array = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        make = partial(
+            SelfAttention,
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            hidden_dim=self.hidden_dim,
+            activation_fn=self.activation_fn,
+            attention_dropout=self.attention_dropout,
+            hidden_dropout=self.hidden_dropout,
+            skip_kind=self.skip_kind,
+        )
+        out = x
+        shared = make(name="layers_shared") if self.share_parameters else None
+        for i in range(self.num_layers):
+            layer = shared if shared is not None else make(name=f"layers_{i}")
+            out = layer(
+                out, key_padding_mask, attention_mask, deterministic=deterministic
+            )
+        return out
