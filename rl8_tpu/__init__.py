@@ -1,0 +1,20 @@
+"""rl8-tpu: a TPU-native, high-throughput PPO framework for
+infinite-horizon, internally-vectorized environments.
+
+Built with the capabilities of ``theOGognf/rl8`` (public package surface
+mirrors ``/root/reference/src/rl8/__init__.py:5-12``), redesigned
+TPU-first on JAX/XLA/Pallas/pjit: pure-functional environments, jitted
+collect/step programs, and env-axis sharding over device meshes.
+"""
+
+from .algorithms import Algorithm, AlgorithmConfig
+from .env import Env
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Algorithm",
+    "AlgorithmConfig",
+    "Env",
+    "__version__",
+]

@@ -1,0 +1,806 @@
+"""Feedforward PPO algorithm.
+
+TPU-native redesign of
+``/root/reference/src/rl8/algorithms/_feedforward.py``. The reference's
+hot loops are Python-level: ``collect`` steps the env ``horizon`` times
+from the interpreter (``_feedforward.py:359-393``) and ``step`` iterates
+minibatches eagerly (``:512-596``). Here each is ONE jitted XLA program:
+
+- ``collect`` = ``lax.cond`` (reset-vs-carry, ``:336-357``) + a
+  ``lax.scan`` over the horizon fusing policy sampling, env stepping,
+  reward-normalization bookkeeping (``:378-383``), and buffer writes;
+- ``step`` = a GAE scan (``nn/functional.py:50-123``) + one ``lax.scan``
+  over ``num_sgd_iters x num_minibatches`` fusing gather, forward, loss
+  (``nn/functional.py:259-363``), KL early-stop masking (``:577-582``),
+  gradient accumulation, clipping, and the optimizer update.
+
+The rollout buffer is a *time-major* ``[T, B, ...]`` pytree (scan's
+natural layout) instead of the reference's ``[B, T+1]`` TensorDict; it is
+transposed once per step for minibatching. All dynamic state (params,
+optimizer state, env state, RNG, counters, reward scale) lives in an
+:class:`rl8_tpu.data.AlgorithmState` pytree so the entire train loop is
+a pure function — which is also what makes multi-chip sharding (see
+``rl8_tpu.parallel``) a matter of input placement rather than code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data import AlgorithmHparams, AlgorithmState, CollectStats, DataKeys, StepStats
+from ..distributions import Distribution
+from ..env import EnvFactory
+from ..models import Model, ModelFactory
+from ..nn import generalized_advantage_estimate, ppo_losses
+from ..policies import Policy
+from ..schedulers import EntropyScheduler, LRScheduler, ScheduleKind
+from ..specs import assert_nd_spec
+from ..utils import profile_ms
+from ._base import GenericAlgorithmBase
+
+__all__ = ["AlgorithmConfig", "Algorithm"]
+
+
+@dataclass
+class AlgorithmConfig:
+    """Config for building a feedforward PPO algorithm.
+
+    Field-for-field counterpart of
+    ``/root/reference/src/rl8/algorithms/_feedforward.py:29-179`` with
+    TPU-native replacements: ``optimizer_cls`` takes an optax factory,
+    ``enable_amp`` switches default models to bf16 compute (no loss
+    scaling is needed on TPU), ``device`` is replaced by an optional
+    ``mesh`` for multi-chip sharding, and ``seed`` makes RNG explicit.
+    """
+
+    #: Model instance to use. Mutually exclusive with ``model_cls``.
+    model: None | Model = None
+    #: Custom policy model class/factory; inferred from specs if omitted.
+    model_cls: None | ModelFactory = None
+    #: Model kwargs unpacked into the model at instantiation.
+    model_config: None | dict[str, Any] = None
+    #: Custom action distribution class; inferred from the action spec.
+    distribution_cls: None | type[Distribution] = None
+    #: Number of transitions per :meth:`Algorithm.collect` call.
+    horizon: int = 32
+    #: Collects between env resets; negative = reset only once.
+    horizons_per_env_reset: int = 1
+    #: Number of parallelized environment instances.
+    num_envs: int = 8192
+    #: Optax optimizer factory (first arg: learning rate).
+    optimizer_cls: Callable[..., optax.GradientTransformation] = optax.adam
+    #: Optimizer kwargs; ``{"lr": 1e-3}`` by default.
+    optimizer_config: None | dict[str, Any] = None
+    #: Accumulate gradients across minibatches before stepping.
+    accumulate_grads: bool = False
+    #: bf16 mixed precision for default models' compute.
+    enable_amp: bool = False
+    #: Optional LR schedule over environment transition counts.
+    lr_schedule: None | list[tuple[int, float]] = None
+    lr_schedule_kind: ScheduleKind = "step"
+    #: Entropy coefficient (ignored when a schedule is given).
+    entropy_coeff: float = 0.0
+    entropy_coeff_schedule: None | list[tuple[int, float]] = None
+    entropy_coeff_schedule_kind: ScheduleKind = "step"
+    #: GAE lambda.
+    gae_lambda: float = 0.95
+    #: Discount factor.
+    gamma: float = 0.95
+    #: Minibatch size; ``None`` = the whole buffer.
+    sgd_minibatch_size: None | int = None
+    #: SGD epochs over the buffer per step.
+    num_sgd_iters: int = 4
+    #: Shuffle minibatches each epoch.
+    shuffle_minibatches: bool = True
+    #: PPO clip parameter.
+    clip_param: float = 0.2
+    #: Value-function clip parameter.
+    vf_clip_param: float = 5.0
+    #: Dual clip for negative advantages (``None`` disables).
+    dual_clip_param: None | float = None
+    #: Value-function loss weight.
+    vf_coeff: float = 1.0
+    #: Early-stop epochs when approximate KL exceeds 1.5x this.
+    target_kl_div: None | float = None
+    #: Global gradient norm clip.
+    max_grad_norm: float = 5.0
+    #: Standardize advantages per batch.
+    normalize_advantages: bool = True
+    #: Normalize rewards by the std of reversed discounted returns.
+    normalize_rewards: bool = True
+    #: PRNG seed for params, sampling, env resets, and shuffling.
+    seed: int = 0
+    #: Optional device mesh with an ``"env"`` axis for sharding the env
+    #: batch (data parallelism). ``None`` = single device.
+    mesh: Any = None
+
+    def build(self, env_cls: EnvFactory) -> "Algorithm":
+        """Build and validate an :class:`Algorithm` from this config."""
+        algo = Algorithm(env_cls, config=self)
+        algo.validate()
+        return algo
+
+
+def _t2b(x: jax.Array) -> jax.Array:
+    """Time-major ``[T, B, ...]`` -> flat batch ``[B * T, ...]`` with
+    B-major ordering (matching the reference's ``buffer.reshape(-1)``)."""
+    moved = jnp.swapaxes(x, 0, 1)
+    return moved.reshape(-1, *moved.shape[2:])
+
+
+def _tree_get(tree: Any, key: str | tuple[str, ...]) -> Any:
+    if isinstance(key, tuple):
+        for k in key:
+            tree = tree[k]
+        return tree
+    return tree[key]
+
+
+def _set_nested(out: dict, key: str | tuple[str, ...], value: Any) -> None:
+    if isinstance(key, tuple):
+        d = out
+        for k in key[:-1]:
+            d = d.setdefault(k, {})
+        d[key[-1]] = value
+    else:
+        out[key] = value
+
+
+class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
+    """An optimized feedforward PPO algorithm with common tricks for
+    stabilizing and accelerating learning, compiled end-to-end for TPU.
+
+    Args:
+        env_cls: Highly parallelized environment factory. Stepped
+            ``horizon`` times per :meth:`collect`.
+        config: See :class:`AlgorithmConfig`.
+
+    Examples:
+        >>> from rl8_tpu import AlgorithmConfig
+        >>> from rl8_tpu.env import DiscreteDummyEnv
+        >>> algo = AlgorithmConfig(num_envs=64).build(DiscreteDummyEnv)
+        >>> algo.collect()  # doctest: +SKIP
+        >>> algo.step()  # doctest: +SKIP
+
+    """
+
+    def __init__(
+        self, env_cls: EnvFactory, /, config: None | AlgorithmConfig = None
+    ) -> None:
+        config = config or AlgorithmConfig()
+        max_num_envs = getattr(env_cls, "max_num_envs", config.num_envs)
+        num_envs = min(config.num_envs, max_num_envs)
+        max_horizon = getattr(env_cls, "max_horizon", 1_000_000)
+        horizon = min(config.horizon, max_horizon)
+        self.env = env_cls(num_envs, horizon)
+        assert_nd_spec(self.env.observation_spec)
+        assert_nd_spec(self.env.action_spec)
+
+        model_config = dict(config.model_config or {})
+        if config.model is None and config.model_cls is None and config.enable_amp:
+            model_config.setdefault("dtype", jnp.bfloat16)
+        self.policy = Policy(
+            self.env.observation_spec,
+            self.env.action_spec,
+            model=config.model,
+            model_cls=config.model_cls,
+            model_config=model_config,
+            distribution_cls=config.distribution_cls,
+        )
+        self.policy.model.validate_view_requirements()
+        if self.policy.model.drop_size:
+            raise RuntimeError(
+                "Models with sample-dropping view requirements can't align"
+                " training views with the rollout buffer. Use"
+                " `padded_rolling_window` (drop size 0) views instead."
+            )
+
+        sgd_minibatch_size = (
+            config.sgd_minibatch_size
+            if config.sgd_minibatch_size
+            else num_envs * horizon
+        )
+        self.hparams = AlgorithmHparams(
+            accumulate_grads=config.accumulate_grads,
+            clip_param=config.clip_param,
+            dual_clip_param=config.dual_clip_param,
+            enable_amp=config.enable_amp,
+            gae_lambda=config.gae_lambda,
+            gamma=config.gamma,
+            horizon=horizon,
+            horizons_per_env_reset=config.horizons_per_env_reset,
+            max_grad_norm=config.max_grad_norm,
+            normalize_advantages=config.normalize_advantages,
+            normalize_rewards=config.normalize_rewards,
+            num_envs=num_envs,
+            num_sgd_iters=config.num_sgd_iters,
+            sgd_minibatch_size=sgd_minibatch_size,
+            shuffle_minibatches=config.shuffle_minibatches,
+            target_kl_div=config.target_kl_div,
+            vf_clip_param=config.vf_clip_param,
+            vf_coeff=config.vf_coeff,
+        ).validate()
+
+        optimizer_config = dict(config.optimizer_config or {"lr": 1e-3})
+        lr0 = optimizer_config.pop("lr", optimizer_config.pop("learning_rate", 1e-3))
+        max_grad_norm = config.max_grad_norm
+        optimizer_cls = config.optimizer_cls
+
+        def _make_optimizer(learning_rate: Any) -> optax.GradientTransformation:
+            return optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optimizer_cls(learning_rate, **optimizer_config),
+            )
+
+        self.optimizer = optax.inject_hyperparams(_make_optimizer)(learning_rate=lr0)
+        self.lr_scheduler = LRScheduler(
+            lr0, schedule=config.lr_schedule, kind=config.lr_schedule_kind
+        )
+        self.entropy_scheduler = EntropyScheduler(
+            config.entropy_coeff,
+            schedule=config.entropy_coeff_schedule,
+            kind=config.entropy_coeff_schedule_kind,
+        )
+        #: Whether the entropy bonus is statically absent (lets
+        #: SquashedNormal policies train without defined entropy).
+        self._static_zero_entropy = (
+            config.entropy_coeff_schedule is None and config.entropy_coeff == 0.0
+        )
+
+        rng = jax.random.key(config.seed)
+        rng, params_key, reset_key = jax.random.split(rng, 3)
+        params = self.policy.init_params(params_key)
+        opt_state = self.optimizer.init(params)
+        # Throwaway reset materializes the env-state pytree structure; the
+        # first `collect` re-resets per the reset cadence.
+        env_state, obs0 = self.env.reset(reset_key)
+        buffer = self._zero_buffer()
+        self.state = AlgorithmState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            rng=rng,
+            buffer=buffer,
+            horizons=jnp.asarray(0, dtype=jnp.int32),
+            buffered=jnp.asarray(False),
+            reward_scale=jnp.asarray(1.0, dtype=jnp.float32),
+        )
+        self.mesh = config.mesh
+        if self.mesh is not None:
+            from ..parallel import shard_state
+
+            self.state = shard_state(self.state, self.mesh, num_envs)
+        #: Host mirror of ``state.horizons`` for scheduler stepping.
+        self._horizons_host = 0
+        self._collect_fn = jax.jit(
+            self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
+        )
+        self._step_fn = jax.jit(
+            self._step_impl,
+            static_argnames=("use_entropy",),
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------
+    # Buffer helpers
+    # ------------------------------------------------------------------
+
+    def _zero_buffer(self) -> dict[str, Any]:
+        """Time-major rollout buffer counterpart of the reference's
+        ``buffer_spec.zero([num_envs, horizon + 1])``
+        (``_feedforward.py:239-256``)."""
+        B, T = self.hparams.num_envs, self.hparams.horizon
+        buf: dict[str, Any] = {
+            DataKeys.OBS: self.env.observation_spec.zero((T + 1, B)),
+            DataKeys.REWARDS: jnp.zeros((T, B, 1)),
+            DataKeys.ACTIONS: self.env.action_spec.zero((T, B)),
+            DataKeys.LOGP: jnp.zeros((T, B, 1)),
+            DataKeys.VALUES: jnp.zeros((T + 1, B, 1)),
+        }
+        if self.hparams.normalize_rewards:
+            buf[DataKeys.REVERSED_DISCOUNTED_RETURNS] = jnp.zeros((T + 1, B, 1))
+        return buf
+
+    @property
+    def _max_shift(self) -> int:
+        return max(
+            (vr.shift for vr in self.policy.model.view_requirements.values()),
+            default=0,
+        )
+
+    def _build_last_views(self, window: Any, valid: jax.Array) -> dict[str, Any]:
+        """Build the model input for a ``kind="last"`` sample from the
+        carried observation window ``[B, S + 1, ...]`` and its validity
+        mask ``[S + 1]``.
+
+        Equivalent to the reference's per-step
+        ``apply_view_requirements(buffer[:, :t+1], kind="last")``
+        (``policies/_feedforward.py:135-138``): the window holds the last
+        ``S + 1`` observations of the current horizon, zero-padded (and
+        mask-flagged) before the horizon's first observation.
+        """
+        B = self.hparams.num_envs
+        out: dict[str, Any] = {}
+        for key, vr in self.policy.model.view_requirements.items():
+            if key == DataKeys.OBS:
+                item = window
+            elif isinstance(key, tuple) and key and key[0] == DataKeys.OBS:
+                item = _tree_get(window, key[1:])
+            else:
+                raise RuntimeError(
+                    f"View requirement key {key!r} must reference observations"
+                    " for rollout-time sampling."
+                )
+            size = vr.shift + 1
+            if vr.shift == 0:
+                view = jax.tree_util.tree_map(lambda t: t[:, -1], item)
+            else:
+                tail = jax.tree_util.tree_map(lambda t: t[:, -size:], item)
+                if vr.drop_size == 0:  # padded_rolling_window
+                    mask = jnp.broadcast_to(~valid[-size:], (B, size))
+                    view = jax.tree_util.tree_map(
+                        lambda t: {
+                            DataKeys.INPUTS: t,
+                            DataKeys.PADDING_MASK: mask,
+                        },
+                        tail,
+                    )
+                else:  # rolling_window: fixed window, zero-filled at starts
+                    view = tail
+            _set_nested(out, key, view)
+        return out
+
+    # ------------------------------------------------------------------
+    # collect
+    # ------------------------------------------------------------------
+
+    def _collect_impl(
+        self,
+        state: AlgorithmState,
+        env_config: None | dict[str, Any],
+        deterministic: bool,
+    ) -> tuple[AlgorithmState, dict[str, jax.Array]]:
+        """One fully-jitted rollout (``_feedforward.py:301-441``)."""
+        h = self.hparams
+        B, T = h.num_envs, h.horizon
+        S = self._max_shift
+        model = self.policy.model
+        dist_cls = self.policy.distribution_cls
+        buffer = state.buffer
+
+        rng, reset_key, scan_key = jax.random.split(state.rng, 3)
+
+        # --- initial obs: reset vs carry (``_feedforward.py:336-357``).
+        def _do_reset(_: None) -> tuple[Any, Any, jax.Array, jax.Array]:
+            env_state, obs0 = self.env.reset(
+                reset_key, state=state.env_state, config=env_config
+            )
+            return env_state, obs0, jnp.zeros((B, 1)), jnp.asarray(True)
+
+        def _carry(_: None) -> tuple[Any, Any, jax.Array, jax.Array]:
+            obs0 = jax.tree_util.tree_map(lambda x: x[-1], buffer[DataKeys.OBS])
+            rev0 = (
+                buffer[DataKeys.REVERSED_DISCOUNTED_RETURNS][-1]
+                if h.normalize_rewards
+                else jnp.zeros((B, 1))
+            )
+            return state.env_state, obs0, rev0, jnp.asarray(False)
+
+        if h.horizons_per_env_reset < 0:
+            reset_now = state.horizons == 0
+        else:
+            reset_now = (state.horizons % h.horizons_per_env_reset) == 0
+        env_state, obs0, rev0, was_reset = jax.lax.cond(
+            reset_now, _do_reset, _carry, None
+        )
+
+        # --- observation window carry (last S + 1 obs of this horizon).
+        window0 = jax.tree_util.tree_map(
+            lambda o: jnp.zeros((B, S + 1, *o.shape[1:]), o.dtype)
+            .at[:, -1]
+            .set(o),
+            obs0,
+        )
+        valid0 = jnp.zeros((S + 1,), dtype=bool).at[-1].set(True)
+
+        def _scan_step(carry: Any, key: jax.Array) -> tuple[Any, Any]:
+            env_state, window, valid, rev = carry
+            in_batch = self._build_last_views(window, valid)
+            features, values = model.apply({"params": state.params}, in_batch)
+            dist = dist_cls(features, model)
+            if deterministic:
+                actions = dist.deterministic_sample()
+            else:
+                actions = dist.sample(key)
+            logp = dist.logp(actions)
+            env_state, obs_next, rewards = self.env.step(env_state, actions)
+            rev_next = h.gamma * rev + rewards if h.normalize_rewards else rev
+            window_next = jax.tree_util.tree_map(
+                lambda w, o: jnp.concatenate([w[:, 1:], o[:, None]], axis=1),
+                window,
+                obs_next,
+            )
+            valid_next = jnp.concatenate(
+                [valid[1:], jnp.ones((1,), dtype=bool)], axis=0
+            )
+            return (
+                (env_state, window_next, valid_next, rev_next),
+                (obs_next, actions, logp, values, rewards, rev_next),
+            )
+
+        keys = jax.random.split(scan_key, T)
+        (env_state, window, valid, _), ys = jax.lax.scan(
+            _scan_step, (env_state, window0, valid0, rev0), keys
+        )
+        obs_rest, actions, logp, values, rewards, rev_rest = ys
+
+        # --- bootstrap value at the final observation (``:395-408``).
+        in_batch = self._build_last_views(window, valid)
+        _, v_last = model.apply({"params": state.params}, in_batch)
+
+        obs_full = jax.tree_util.tree_map(
+            lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
+            obs0,
+            obs_rest,
+        )
+        values_full = jnp.concatenate([values, v_last[None]], axis=0)
+        new_buffer: dict[str, Any] = {
+            DataKeys.OBS: obs_full,
+            DataKeys.REWARDS: rewards,
+            DataKeys.ACTIONS: actions,
+            DataKeys.LOGP: logp,
+            DataKeys.VALUES: values_full,
+        }
+        if h.normalize_rewards:
+            rev_full = jnp.concatenate([rev0[None], rev_rest], axis=0)
+            new_buffer[DataKeys.REVERSED_DISCOUNTED_RETURNS] = rev_full
+            reward_scale = jnp.std(rev_full[1:])
+        else:
+            reward_scale = jnp.asarray(1.0, dtype=jnp.float32)
+
+        # --- metrics (``:410-424``).
+        returns = jnp.sum(rewards, axis=0)
+        stats = {
+            "returns/min": jnp.min(returns),
+            "returns/max": jnp.max(returns),
+            "returns/mean": jnp.mean(returns),
+            "returns/std": jnp.std(returns),
+            "rewards/min": jnp.min(rewards),
+            "rewards/max": jnp.max(rewards),
+            "rewards/mean": jnp.mean(rewards),
+            "rewards/std": jnp.std(rewards),
+            "env/was_reset": was_reset,
+        }
+
+        new_state = state.replace(
+            env_state=env_state,
+            rng=rng,
+            buffer=new_buffer,
+            horizons=state.horizons + 1,
+            buffered=jnp.asarray(True),
+            reward_scale=reward_scale,
+        )
+        return new_state, stats
+
+    def collect(
+        self,
+        *,
+        env_config: None | dict[str, Any] = None,
+        deterministic: bool = False,
+    ) -> CollectStats:
+        """Collect environment transitions and policy samples in the buffer
+        (``/root/reference/src/rl8/algorithms/_feedforward.py:301-441``).
+
+        The environment is reset per ``horizons_per_env_reset``; otherwise
+        the last observation carries over. Sets the ``buffered`` flag so
+        :meth:`step` isn't called with dummy data.
+
+        Args:
+            env_config: Optional config for the env's reset (ignored when
+                no reset is scheduled).
+            deterministic: Sample deterministically (evaluation) vs
+                stochastically (learning).
+
+        Returns:
+            Summary statistics of the collected experiences.
+
+        """
+        with profile_ms() as collect_timer:
+            self.state, stats = self._collect_fn(
+                self.state, env_config, deterministic
+            )
+            stats = jax.device_get(stats)
+        self._horizons_host += 1
+        collect_stats: CollectStats = {
+            k: float(v) for k, v in stats.items() if k != "env/was_reset"
+        }
+        collect_stats["env/resets"] = self.hparams.num_envs * int(
+            stats["env/was_reset"]
+        )
+        collect_stats["env/steps"] = self.hparams.num_envs * self.hparams.horizon
+        collect_stats["profiling/collect_ms"] = collect_timer()
+        return collect_stats
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+
+    def _step_impl(
+        self,
+        state: AlgorithmState,
+        lr: jax.Array,
+        entropy_coeff: jax.Array | float,
+        use_entropy: bool,
+    ) -> tuple[AlgorithmState, dict[str, jax.Array]]:
+        """One fully-jitted PPO update (``_feedforward.py:443-615``)."""
+        h = self.hparams
+        B, T = h.num_envs, h.horizon
+        N = B * T
+        M = h.num_minibatches
+        E = h.num_sgd_iters
+        accum = M if h.accumulate_grads else 1
+        model = self.policy.model
+        dist_cls = self.policy.distribution_cls
+        buffer = state.buffer
+        # With the entropy bonus statically absent, pass a literal zero so
+        # `ppo_losses` skips the entropy term entirely (required for
+        # distributions like SquashedNormal whose entropy is undefined).
+        entropy_coeff = entropy_coeff if use_entropy else 0.0
+
+        advantages, returns = generalized_advantage_estimate(
+            buffer[DataKeys.REWARDS],
+            buffer[DataKeys.VALUES],
+            gae_lambda=h.gae_lambda,
+            gamma=h.gamma,
+            normalize_advantages=h.normalize_advantages,
+            return_returns=True,
+            reward_scale=state.reward_scale,
+        )
+
+        # Batchify: [T, B, ...] -> [B * T, ...]; views from [B, T, ...] obs
+        # (``_feedforward.py:469-482``).
+        obs_bt = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x[:T], 0, 1), buffer[DataKeys.OBS]
+        )
+        views = model.apply_view_requirements({DataKeys.OBS: obs_bt}, kind="all")
+        flat = {
+            DataKeys.ACTIONS: _t2b(buffer[DataKeys.ACTIONS]),
+            DataKeys.LOGP: _t2b(buffer[DataKeys.LOGP]),
+            DataKeys.ADVANTAGES: _t2b(advantages),
+            DataKeys.RETURNS: _t2b(returns),
+            DataKeys.VIEWS: views,
+        }
+        final_obs = jax.tree_util.tree_map(lambda x: x[-1], buffer[DataKeys.OBS])
+
+        rng, perm_key = jax.random.split(state.rng)
+        if h.shuffle_minibatches:
+            perm_keys = jax.random.split(perm_key, E)
+            perms = jnp.stack([jax.random.permutation(k, N) for k in perm_keys])
+        else:
+            perms = jnp.tile(jnp.arange(N), (E, 1))
+        idx = perms.reshape(E * M, h.sgd_minibatch_size)
+        # Optimizer-apply flags per scan position (static pattern).
+        pos_in_epoch = jnp.arange(E * M) % M
+        apply_flags = ((pos_in_epoch + 1) % accum) == 0
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        sum_keys = ("entropy", "policy", "vf", "total", "kl_div")
+        zero_sums = {k: jnp.asarray(0.0) for k in sum_keys}
+        carry0 = {
+            "params": state.params,
+            "opt_state": opt_state,
+            "grad_acc": jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            "stopped": jnp.asarray(False),
+            "window_sums": dict(zero_sums),
+            "totals": dict(zero_sums),
+            "n_windows": jnp.asarray(0.0),
+        }
+
+        def _loss_fn(params: Any, mb: dict[str, Any]) -> tuple[jax.Array, Any]:
+            features, values = model.apply({"params": params}, mb[DataKeys.VIEWS])
+            dist = dist_cls(features, model)
+            losses = ppo_losses(
+                mb,
+                values,
+                dist,
+                clip_param=h.clip_param,
+                dual_clip_param=h.dual_clip_param,
+                entropy_coeff=entropy_coeff,
+                vf_clip_param=h.vf_clip_param,
+                vf_coeff=h.vf_coeff,
+            )
+            logp_ratio = dist.logp(mb[DataKeys.ACTIONS]) - mb[DataKeys.LOGP]
+            kl = jnp.mean((jnp.exp(logp_ratio) - 1) - logp_ratio)
+            kl = jax.lax.stop_gradient(kl)
+            return losses["total"] / accum, (losses, kl)
+
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+
+        def _minibatch(carry: dict[str, Any], xs: Any) -> tuple[dict[str, Any], None]:
+            idx_row, apply_flag = xs
+
+            def _process(carry: dict[str, Any]) -> dict[str, Any]:
+                mb = jax.tree_util.tree_map(lambda x: x[idx_row], flat)
+                (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
+                trigger = (
+                    kl > 1.5 * h.target_kl_div
+                    if h.target_kl_div is not None
+                    else jnp.asarray(False)
+                )
+                # Stats mirror the reference's StatTracker: losses are
+                # tracked post-division by the accumulation steps, summed
+                # within an accumulation window, then averaged over
+                # windows (``_utils.py:259-313``).
+                scaled = {k: losses[k] / accum for k in ("entropy", "policy", "vf", "total")}
+                scaled["kl_div"] = kl / accum
+                window_sums = {
+                    k: carry["window_sums"][k] + scaled[k] for k in sum_keys
+                }
+                grad_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g, carry["grad_acc"], grads
+                )
+
+                def _apply(args: Any) -> Any:
+                    params, opt_state, grad_acc, window_sums, totals, n = args
+
+                    def _update(_: None) -> tuple[Any, Any]:
+                        updates, new_opt = self.optimizer.update(
+                            grad_acc, opt_state, params
+                        )
+                        return optax.apply_updates(params, updates), new_opt
+
+                    def _skip_update(_: None) -> tuple[Any, Any]:
+                        return params, opt_state
+
+                    params, opt_state = jax.lax.cond(
+                        trigger, _skip_update, _update, None
+                    )
+                    totals = {k: totals[k] + window_sums[k] for k in sum_keys}
+                    return (
+                        params,
+                        opt_state,
+                        jax.tree_util.tree_map(jnp.zeros_like, grad_acc),
+                        dict(zero_sums),
+                        totals,
+                        n + 1.0,
+                    )
+
+                def _no_apply(args: Any) -> Any:
+                    return args
+
+                params, opt_state, grad_acc, window_sums, totals, n = jax.lax.cond(
+                    apply_flag,
+                    _apply,
+                    _no_apply,
+                    (
+                        carry["params"],
+                        carry["opt_state"],
+                        grad_acc,
+                        window_sums,
+                        carry["totals"],
+                        carry["n_windows"],
+                    ),
+                )
+                return {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "grad_acc": grad_acc,
+                    "stopped": carry["stopped"] | trigger,
+                    "window_sums": window_sums,
+                    "totals": totals,
+                    "n_windows": n,
+                }
+
+            carry = jax.lax.cond(carry["stopped"], lambda c: c, _process, carry)
+            return carry, None
+
+        carry, _ = jax.lax.scan(_minibatch, carry0, (idx, apply_flags))
+
+        n = jnp.maximum(carry["n_windows"], 1.0)
+        stats = {
+            "losses/entropy": carry["totals"]["entropy"] / n,
+            "losses/policy": carry["totals"]["policy"] / n,
+            "losses/vf": carry["totals"]["vf"] / n,
+            "losses/total": carry["totals"]["total"] / n,
+            "monitors/kl_div": carry["totals"]["kl_div"] / n,
+        }
+
+        # Reset the buffer, restoring the final observation
+        # (``_feedforward.py:603-610``).
+        new_buffer = jax.tree_util.tree_map(jnp.zeros_like, buffer)
+        new_buffer[DataKeys.OBS] = jax.tree_util.tree_map(
+            lambda z, o: z.at[-1].set(o), new_buffer[DataKeys.OBS], final_obs
+        )
+        new_state = state.replace(
+            params=carry["params"],
+            opt_state=carry["opt_state"],
+            rng=rng,
+            buffer=new_buffer,
+            buffered=jnp.asarray(False),
+        )
+        return new_state, stats
+
+    def step(self) -> StepStats:
+        """Update the policy using the collected buffer
+        (``/root/reference/src/rl8/algorithms/_feedforward.py:443-615``).
+
+        Returns:
+            Loss/coefficient/KL stats for the step.
+
+        """
+        if not bool(jax.device_get(self.state.buffered)):
+            raise RuntimeError(
+                f"{self.__class__.__name__} is not buffered. "
+                "Call `collect` once prior to `step`."
+            )
+        with profile_ms() as step_timer:
+            entropy_coeff = (
+                0.0 if self._static_zero_entropy else self.entropy_scheduler.coeff
+            )
+            self.state, stats = self._step_fn(
+                self.state,
+                self.lr_scheduler.coeff,
+                entropy_coeff,
+                use_entropy=not self._static_zero_entropy,
+            )
+            stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+            # Scheduler cadence mirrors ``_feedforward.py:599-600``.
+            count = self.hparams.num_envs * self._horizons_host
+            self.lr_scheduler.step(count)
+            self.entropy_scheduler.step(count)
+        step_stats: StepStats = {
+            "coefficients/entropy": float(entropy_coeff),
+            "coefficients/vf": self.hparams.vf_coeff,
+            **stats,
+        }
+        step_stats["profiling/step_ms"] = step_timer()
+        return step_stats
+
+    # ------------------------------------------------------------------
+    # validation
+    # ------------------------------------------------------------------
+
+    def validate(self) -> None:
+        """Eagerly validate env/policy/buffer shape contracts
+        (``/root/reference/src/rl8/algorithms/_feedforward.py:617-698``)."""
+        B = self.hparams.num_envs
+        key = jax.random.key(0)
+        env_state, obs = self.env.reset(key)
+        self.env.observation_spec.assert_is_in(obs)
+
+        batch = {
+            DataKeys.OBS: jax.tree_util.tree_map(lambda o: o[:, None], obs)
+        }
+        sample = self.policy.sample(
+            self.state.params,
+            batch,
+            kind="last",
+            key=key,
+            deterministic=False,
+            return_actions=True,
+            return_logp=True,
+            return_values=True,
+        )
+        actions = sample[DataKeys.ACTIONS]
+        assert jnp.ndim(actions) >= 2, (
+            "Actions must be at least 2D and have shape ``[N, ...]`` (where"
+            " ``N`` is the number of environment instances)."
+        )
+        self.env.action_spec.assert_is_in(actions)
+        assert sample[DataKeys.LOGP].shape == (B, 1), (
+            "Action log probabilities must be 2D with shape ``[N, 1]``."
+        )
+        assert sample[DataKeys.VALUES].shape == (B, 1), (
+            "Value estimates must be 2D with shape ``[N, 1]``."
+        )
+        env_state, obs, rewards = self.env.step(env_state, actions)
+        self.env.observation_spec.assert_is_in(obs)
+        assert rewards.shape == (B, 1), (
+            "Rewards must be 2D with shape ``[N, 1]``."
+        )

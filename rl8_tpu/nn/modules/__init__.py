@@ -1,0 +1,24 @@
+"""Custom flax modules (counterpart of
+``/root/reference/src/rl8/nn/modules/__init__.py``)."""
+
+from .activations import ACTIVATIONS, get_activation, squared_relu
+from .attention import CrossAttention, PointerNetwork, SelfAttention, SelfAttentionStack
+from .embeddings import PositionalEmbedding
+from .mlp import MLP
+from .perceiver import PerceiverIOLayer, PerceiverLayer
+from .skip import SequentialSkipConnection
+
+__all__ = [
+    "ACTIVATIONS",
+    "CrossAttention",
+    "MLP",
+    "PerceiverIOLayer",
+    "PerceiverLayer",
+    "PointerNetwork",
+    "PositionalEmbedding",
+    "SelfAttention",
+    "SelfAttentionStack",
+    "SequentialSkipConnection",
+    "get_activation",
+    "squared_relu",
+]

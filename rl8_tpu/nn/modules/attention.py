@@ -82,6 +82,25 @@ def _combine_masks(
     return mask
 
 
+class _FFN(nn.Module):
+    """Post-attention feedforward: LayerNorm -> Dense -> act -> Dropout ->
+    Dense back to the input width."""
+
+    hidden_dim: int
+    out_dim: int
+    activation_fn: str
+    dropout: float
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.LayerNorm()(x)
+        x = nn.Dense(self.hidden_dim)(x)
+        x = get_activation(self.activation_fn)(x)
+        x = nn.Dropout(rate=self.dropout, deterministic=self.deterministic)(x)
+        return nn.Dense(self.out_dim)(x)
+
+
 class _AttentionBlock(nn.Module):
     """Shared attention + feedforward + skip structure used by both
     cross- and self-attention (reference: ``attention.py:82-195``)."""
@@ -116,28 +135,18 @@ class _AttentionBlock(nn.Module):
             name="attention",
         )(q_normed, kv_normed, kv_normed, mask=mask)
 
+        # The FFN's width matches the value entering the skip connection:
+        # embed_dim after the fan-in for "cat", embed_dim for "residual"/None
+        # — but for "cat" the FFN runs *after* the fan-in, so its IO width is
+        # embed_dim in all cases.
         def make_mlp() -> nn.Module:
-            act = get_activation(self.activation_fn)
-            block = self
-
-            class _FFN(nn.Module):
-                @nn.compact
-                def __call__(self, x: jax.Array) -> jax.Array:
-                    x = nn.LayerNorm()(x)
-                    x = nn.Dense(block.hidden_dim)(x)
-                    x = act(x)
-                    x = nn.Dropout(
-                        rate=block.hidden_dropout, deterministic=deterministic
-                    )(x)
-                    return nn.Dense(x.shape[-1] and self._out_dim)(x)
-
-            # Output dim of the FFN matches its input dim (the skip width).
-            class _FFNSized(_FFN):
-                _out_dim: int = (
-                    2 * block.embed_dim if block.skip_kind == "cat" else block.embed_dim
-                )
-
-            return _FFNSized()
+            return _FFN(
+                hidden_dim=self.hidden_dim,
+                out_dim=self.embed_dim,
+                activation_fn=self.activation_fn,
+                dropout=self.hidden_dropout,
+                deterministic=deterministic,
+            )
 
         return SequentialSkipConnection(
             embed_dim=self.embed_dim,

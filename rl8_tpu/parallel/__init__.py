@@ -1,0 +1,78 @@
+"""Multi-chip sharding: the TPU-new component.
+
+The reference is single-process/single-device by design
+(``/root/reference/src/rl8/algorithms/__init__.py:8-14``,
+``README.md:196-210``). This module adds the TPU-native scale-out path:
+a 1-D device mesh whose ``"env"`` axis shards the environment batch —
+env state, observation windows, and the rollout buffer all shard along
+``num_envs``, while model params and optimizer state stay replicated.
+Because the whole train loop is jitted pure functions over the state
+pytree, sharding is purely a matter of *input placement*: GSPMD
+propagates the shardings through collect/step and inserts the gradient
+all-reduce (over ICI) where the replicated-param gradient meets the
+sharded batch. Multi-host runs only additionally need
+``jax.distributed.initialize()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = ["create_mesh", "shard_state", "shard_batch", "ENV_AXIS"]
+
+#: Name of the mesh axis the environment batch shards over.
+ENV_AXIS = "env"
+
+
+def create_mesh(
+    devices: Any = None, *, axis_name: str = ENV_AXIS
+) -> Mesh:
+    """Create a 1-D mesh over ``devices`` (default: all local devices)."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _shard_leaf(
+    leaf: jax.Array, mesh: Mesh, num_envs: int, axis_name: str
+) -> jax.Array:
+    """Place a leaf: shard the first axis sized ``num_envs`` (env state,
+    ``[B, ...]``), or the second axis for time-major buffers
+    (``[T, B, ...]``); replicate everything else."""
+    shape = jnp.shape(leaf)
+    if len(shape) >= 1 and shape[0] == num_envs:
+        spec = PartitionSpec(axis_name)
+    elif len(shape) >= 2 and shape[1] == num_envs:
+        spec = PartitionSpec(None, axis_name)
+    else:
+        spec = PartitionSpec()
+    return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+
+def shard_batch(batch: Any, mesh: Mesh, num_envs: int, *, axis_name: str = ENV_AXIS) -> Any:
+    """Shard a pytree of batched arrays along the env axis."""
+    return jax.tree_util.tree_map(
+        lambda x: _shard_leaf(x, mesh, num_envs, axis_name), batch
+    )
+
+
+def shard_state(state: Any, mesh: Mesh, num_envs: int, *, axis_name: str = ENV_AXIS) -> Any:
+    """Shard an :class:`rl8_tpu.data.AlgorithmState`: env-batched leaves
+    along the ``env`` axis, params/optimizer state replicated."""
+    replicated = NamedSharding(mesh, PartitionSpec())
+    return state.replace(
+        params=jax.device_put(state.params, replicated),
+        opt_state=jax.device_put(state.opt_state, replicated),
+        env_state=shard_batch(state.env_state, mesh, num_envs, axis_name=axis_name),
+        buffer=shard_batch(state.buffer, mesh, num_envs, axis_name=axis_name),
+        rng=jax.device_put(state.rng, replicated),
+        horizons=jax.device_put(state.horizons, replicated),
+        buffered=jax.device_put(state.buffered, replicated),
+        reward_scale=jax.device_put(state.reward_scale, replicated),
+    )

@@ -1,0 +1,184 @@
+"""High-level training interfaces.
+
+Counterpart of ``/root/reference/src/rl8/trainers/_base.py`` with the
+same counter semantics, eval reset-boundary guards, and metric naming —
+the only change is tracking goes through the pluggable
+:mod:`rl8_tpu.trainers.tracking` interface instead of a hard MLflow
+dependency.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Generic, TypeVar
+
+from ..algorithms import GenericAlgorithmBase
+from ..conditions import Condition
+from ..data import EvalCollectStats, TrainerState, TrainStats
+from ..utils import reduce_stats
+from .tracking import Run, get_default_run
+
+__all__ = ["GenericTrainerBase"]
+
+_Algorithm = TypeVar("_Algorithm", bound=GenericAlgorithmBase[Any, Any, Any])
+
+
+class GenericTrainerBase(Generic[_Algorithm]):
+    """The base trainer interface
+    (``/root/reference/src/rl8/trainers/_base.py:16-201``).
+
+    Args:
+        algorithm: Underlying PPO algorithm (env, model, action
+            distribution, and hyperparameters included).
+        run: Tracking backend; defaults to the process-wide default run.
+
+    """
+
+    #: Underlying PPO algorithm.
+    algorithm: _Algorithm
+
+    #: Tracking backend receiving params (once) and per-step metrics.
+    tracking_run: Run
+
+    #: Running totals for logging and eval-boundary checks.
+    state: TrainerState
+
+    def __init__(self, algorithm: _Algorithm, /, *, run: None | Run = None) -> None:
+        self.algorithm = algorithm
+        self.tracking_run = run if run is not None else get_default_run()
+        self.state = {
+            "algorithm/collects": 0,
+            "algorithm/steps": 0,
+            "env/steps": 0,
+        }
+        self.tracking_run.log_params(self.algorithm.params)
+
+    def eval(
+        self, *, env_config: None | dict[str, Any] = None, deterministic: bool = True
+    ) -> EvalCollectStats:
+        """Evaluate over ``horizons_per_env_reset`` horizons
+        (``trainers/_base.py:43-102``).
+
+        Raises:
+            RuntimeError: If called outside the algorithm's
+                ``horizons_per_env_reset`` interval (algorithms share one
+                buffer between training and evaluation).
+            ValueError: If an eval env config is provided but the env
+                never resets after startup.
+
+        """
+        if (
+            env_config
+            and self.algorithm.horizons_per_env_reset < 0
+            and self.state["algorithm/collects"]
+        ):
+            raise ValueError(
+                "An eval environment config was provided even though the"
+                " environment is not expected to use the config because"
+                " `horizons_per_env_reset` is < 0 (indicating the environment"
+                " is reset just once at the beginning of training). Either 1)"
+                " do not provide an eval environment config, or 2) set"
+                " `horizons_per_env_reset` > 0."
+            )
+        if (
+            self.algorithm.horizons_per_env_reset > 0
+            and self.state["algorithm/collects"]
+            % self.algorithm.horizons_per_env_reset
+        ):
+            raise RuntimeError(
+                f"{self.eval.__qualname__} can only be called every"
+                " `horizons_per_env_reset`. This is necessary because"
+                " algorithms share the same buffer when collecting experiences"
+                " for training and for evaluation."
+            )
+        stats: dict[str, list[float]] = defaultdict(list)
+        horizons_per_env_reset = max(1, self.algorithm.horizons_per_env_reset)
+        for _ in range(horizons_per_env_reset):
+            for k, v in self.algorithm.collect(
+                env_config=env_config, deterministic=deterministic
+            ).items():
+                stats[k].append(v)
+            self.state["algorithm/collects"] += 1
+        eval_stats = {f"eval/{k}": v for k, v in reduce_stats(stats).items()}
+        self.tracking_run.log_metrics(eval_stats, step=self.state["env/steps"])
+        return eval_stats  # type: ignore[return-value]
+
+    def run(
+        self,
+        *,
+        env_config: None | dict[str, Any] = None,
+        eval_env_config: None | dict[str, Any] = None,
+        steps_per_eval: None | int = None,
+        stop_conditions: None | list[Condition] = None,
+    ) -> TrainStats:
+        """Train until any stop condition is satisfied
+        (``trainers/_base.py:104-174``). Runs indefinitely without stop
+        conditions.
+
+        Args:
+            env_config: Env config override (e.g. domain randomization).
+            eval_env_config: Env config during evals; defaults to
+                ``env_config``.
+            steps_per_eval: Trainer steps between evals.
+            stop_conditions: Any one evaluating ``True`` stops training.
+
+        Returns:
+            The most recent train stats when training stops.
+
+        Raises:
+            ValueError: If an eval env config is provided for an env that
+                never resets, or if ``steps_per_eval`` isn't a multiple of
+                ``horizons_per_env_reset``.
+
+        """
+        if (
+            steps_per_eval
+            and self.algorithm.horizons_per_env_reset < 0
+            and eval_env_config
+        ):
+            raise ValueError(
+                "An eval environment config was provided even though the"
+                " environment is not expected to use the config because"
+                " `horizons_per_env_reset` is < 0 (indicating the environment"
+                " is reset just once at the beginning of training). Either 1)"
+                " do not provide an eval environment config, or 2) set"
+                " `horizons_per_env_reset` > 0."
+            )
+        if (
+            steps_per_eval
+            and self.algorithm.horizons_per_env_reset > 0
+            and steps_per_eval % self.algorithm.horizons_per_env_reset
+        ):
+            raise ValueError(
+                f"{self.eval.__qualname__} can only be called every"
+                " `horizons_per_env_reset`. Set `steps_per_eval` to a factor"
+                " of `horizons_per_env_reset` to avoid this error."
+            )
+        eval_env_config = eval_env_config or env_config
+        stop_conditions = stop_conditions or []
+        train_stats = self.step(env_config=env_config)
+        while not any(condition(train_stats) for condition in stop_conditions):
+            if steps_per_eval and not (
+                self.state["algorithm/steps"] % steps_per_eval
+            ):
+                self.eval(env_config=eval_env_config)
+            train_stats = self.step(env_config=env_config)
+        return train_stats
+
+    def step(self, *, env_config: None | dict[str, Any] = None) -> TrainStats:
+        """One training step: collect + update + log
+        (``trainers/_base.py:176-201``)."""
+        memory_stats = self.algorithm.memory_stats()
+        collect_stats = self.algorithm.collect(env_config=env_config)
+        step_stats = self.algorithm.step()
+        train_stats: dict[str, Any] = {
+            **memory_stats,
+            **collect_stats,
+            **step_stats,
+        }
+        self.state["algorithm/collects"] += 1
+        self.state["algorithm/steps"] += 1
+        self.state["env/steps"] += collect_stats["env/steps"]
+        train_stats.update(self.state)
+        self.tracking_run.log_metrics(train_stats, step=self.state["env/steps"])
+        return train_stats  # type: ignore[return-value]

@@ -3,14 +3,24 @@
 Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths can
 be exercised without TPU hardware (the JAX-idiomatic analog of the
 reference's CPU-only CI, ``/root/reference/.github/workflows/test.yml``).
-The env vars must be set before JAX initializes its backends.
+
+The surrounding environment may preset ``JAX_PLATFORMS`` to a real
+accelerator and import jax at interpreter startup (sitecustomize), so the
+platform must be forced via ``jax.config`` — env vars alone are too late.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"

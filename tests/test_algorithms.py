@@ -1,0 +1,217 @@
+"""Algorithm tests, mirroring the strategy of
+``/root/reference/tests/test_algorithms.py``: gradient-accumulation
+equivalence, validate() passing, and env-reset cadence."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rl8_tpu import AlgorithmConfig
+from rl8_tpu.data import DataKeys
+from rl8_tpu.env import ContinuousDummyEnv, DiscreteDummyEnv
+
+NUM_ENVS = 16
+HORIZON = 8
+HORIZONS_PER_ENV_RESET = 2
+
+
+@pytest.mark.parametrize("env_cls", [ContinuousDummyEnv, DiscreteDummyEnv])
+def test_accumulation_equivalence(env_cls) -> None:
+    """Same seed: accumulated and non-accumulated steps produce matching
+    losses (``/root/reference/tests/test_algorithms.py:16-68``)."""
+    SEED = 42
+    ENTROPY_COEFF = 1e-2 if env_cls is DiscreteDummyEnv else 0.0
+    algo = AlgorithmConfig(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        entropy_coeff=ENTROPY_COEFF,
+        seed=SEED,
+        model_config={"hiddens": (16, 16)},
+    ).build(env_cls)
+    algo.collect()
+    non_accumulated = algo.step()
+
+    algo = AlgorithmConfig(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        accumulate_grads=True,
+        entropy_coeff=ENTROPY_COEFF,
+        sgd_minibatch_size=NUM_ENVS,
+        seed=SEED,
+        model_config={"hiddens": (16, 16)},
+    ).build(env_cls)
+    algo.collect()
+    accumulated = algo.step()
+
+    for key in (
+        "losses/entropy",
+        "losses/policy",
+        "losses/total",
+        "losses/vf",
+        "monitors/kl_div",
+    ):
+        assert math.isclose(
+            non_accumulated[key], accumulated[key], rel_tol=1e-3, abs_tol=1e-5
+        ), key
+
+
+@pytest.mark.parametrize("env_cls", [ContinuousDummyEnv, DiscreteDummyEnv])
+def test_algorithm_validate(env_cls) -> None:
+    algo = AlgorithmConfig(
+        horizon=HORIZON, num_envs=NUM_ENVS, model_config={"hiddens": (8,)}
+    ).build(env_cls)
+    algo.validate()
+
+
+def test_feedforward_algorithm_resets() -> None:
+    """Env-reset cadence honors ``horizons_per_env_reset``
+    (``/root/reference/tests/test_algorithms.py:85-101``)."""
+    algo = AlgorithmConfig(
+        horizon=HORIZON,
+        num_envs=NUM_ENVS,
+        horizons_per_env_reset=HORIZONS_PER_ENV_RESET,
+        model_config={"hiddens": (8,)},
+    ).build(DiscreteDummyEnv)
+    stats = algo.collect()
+    assert int(algo.state.horizons) == 1
+    assert stats["env/resets"] == NUM_ENVS
+    stats = algo.collect()
+    assert int(algo.state.horizons) == 2
+    assert stats["env/resets"] == 0
+    stats = algo.collect()
+    assert int(algo.state.horizons) == 3
+    assert stats["env/resets"] == NUM_ENVS
+
+
+def test_reset_once_when_negative() -> None:
+    algo = AlgorithmConfig(
+        horizon=HORIZON,
+        num_envs=NUM_ENVS,
+        horizons_per_env_reset=-1,
+        model_config={"hiddens": (8,)},
+    ).build(DiscreteDummyEnv)
+    assert algo.collect()["env/resets"] == NUM_ENVS
+    assert algo.collect()["env/resets"] == 0
+    assert algo.collect()["env/resets"] == 0
+
+
+def test_step_requires_collect() -> None:
+    algo = AlgorithmConfig(
+        horizon=HORIZON, num_envs=NUM_ENVS, model_config={"hiddens": (8,)}
+    ).build(DiscreteDummyEnv)
+    with pytest.raises(RuntimeError):
+        algo.step()
+    algo.collect()
+    algo.step()
+    with pytest.raises(RuntimeError):
+        algo.step()
+
+
+def test_obs_carries_between_horizons() -> None:
+    """Without a reset, the next collect starts from the final obs."""
+    algo = AlgorithmConfig(
+        horizon=HORIZON,
+        num_envs=NUM_ENVS,
+        horizons_per_env_reset=2,
+        model_config={"hiddens": (8,)},
+    ).build(DiscreteDummyEnv)
+    algo.collect()
+    final_obs = jax.device_get(algo.state.buffer[DataKeys.OBS][-1])
+    algo.collect()
+    first_obs = jax.device_get(algo.state.buffer[DataKeys.OBS][0])
+    assert (final_obs == first_obs).all()
+
+
+def test_collect_stats_structure() -> None:
+    algo = AlgorithmConfig(
+        horizon=HORIZON, num_envs=NUM_ENVS, model_config={"hiddens": (8,)}
+    ).build(DiscreteDummyEnv)
+    stats = algo.collect()
+    assert stats["env/steps"] == NUM_ENVS * HORIZON
+    for key in ("returns/min", "returns/max", "returns/mean", "returns/std"):
+        assert key in stats
+    assert stats["returns/min"] <= stats["returns/mean"] <= stats["returns/max"]
+    assert stats["profiling/collect_ms"] > 0
+
+
+def test_step_stats_structure() -> None:
+    algo = AlgorithmConfig(
+        horizon=HORIZON,
+        num_envs=NUM_ENVS,
+        entropy_coeff=0.01,
+        model_config={"hiddens": (8,)},
+    ).build(DiscreteDummyEnv)
+    algo.collect()
+    stats = algo.step()
+    for key in (
+        "coefficients/entropy",
+        "coefficients/vf",
+        "losses/entropy",
+        "losses/policy",
+        "losses/vf",
+        "losses/total",
+        "monitors/kl_div",
+        "profiling/step_ms",
+    ):
+        assert key in stats
+    assert stats["coefficients/entropy"] == 0.01
+
+
+def test_target_kl_early_stop_allowed_configs() -> None:
+    with pytest.raises(ValueError):
+        AlgorithmConfig(
+            horizon=HORIZON,
+            num_envs=NUM_ENVS,
+            target_kl_div=0.1,
+            accumulate_grads=True,
+            sgd_minibatch_size=NUM_ENVS,
+            model_config={"hiddens": (8,)},
+        ).build(DiscreteDummyEnv)
+    algo = AlgorithmConfig(
+        horizon=HORIZON,
+        num_envs=NUM_ENVS,
+        target_kl_div=1e-8,
+        model_config={"hiddens": (8,)},
+    ).build(DiscreteDummyEnv)
+    algo.collect()
+    stats = algo.step()
+    assert "monitors/kl_div" in stats
+
+
+def test_learning_on_discrete_dummy_env() -> None:
+    """The milestone: PPO learns the optimal dummy-env policy (move
+    toward the origin) within a few steps."""
+    algo = AlgorithmConfig(
+        num_envs=128,
+        horizon=16,
+        seed=1,
+        model_config={"hiddens": (32, 32)},
+    ).build(DiscreteDummyEnv)
+    for _ in range(25):
+        algo.collect(env_config={"bounds": 10.0})
+        algo.step()
+    batch = {DataKeys.OBS: jnp.array([[[5.0]], [[-5.0]], [[2.0]], [[-2.0]]])}
+    out = algo.policy.sample(
+        algo.state.params, batch, kind="last", deterministic=True
+    )
+    assert out[DataKeys.ACTIONS].ravel().tolist() == [0, 1, 0, 1]
+
+
+def test_learning_on_continuous_dummy_env() -> None:
+    algo = AlgorithmConfig(
+        num_envs=128,
+        horizon=16,
+        seed=1,
+        gae_lambda=0.97,
+        gamma=0.99,
+        model_config={"hiddens": (32, 32)},
+    ).build(ContinuousDummyEnv)
+    first = None
+    for i in range(25):
+        stats = algo.collect(env_config={"bounds": 5.0})
+        if first is None:
+            first = stats["returns/mean"]
+        algo.step()
+    assert stats["returns/mean"] > first

@@ -213,9 +213,10 @@ def test_ppo_losses_entropy_bonus() -> None:
 def test_ppo_losses_dual_clip() -> None:
     """Dual clip bounds the magnitude of negative-advantage surrogate loss."""
     B = 4
-    # Current dist strongly prefers action 1; sampled logp was uniform.
+    # Current dist strongly prefers action 1; the sampling dist strongly
+    # preferred action 0, so the ratio far exceeds the dual clip bound.
     curr = Categorical({"logits": jnp.tile(jnp.array([[[-10.0, 10.0]]]), (B, 1, 1))})
-    old = Categorical({"logits": jnp.zeros((B, 1, 2))})
+    old = Categorical({"logits": jnp.tile(jnp.array([[[2.0, -2.0]]]), (B, 1, 1))})
     actions = jnp.ones((B, 1), dtype=jnp.int32)
     batch = {
         DataKeys.ACTIONS: actions,
