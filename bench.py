@@ -1,0 +1,58 @@
+"""Headline benchmark: environment transitions/s with one policy update
+per horizon on ``DiscreteDummyEnv`` (the reference's headline metric:
+~1M transitions/s on one RTX 2080, ``/root/reference/README.md:8-10``).
+
+Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
+``vs_baseline`` is the ratio against the reference's 1M transitions/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_TRANSITIONS_PER_S = 1_000_000.0
+
+
+def main() -> None:
+    from rl8_tpu import AlgorithmConfig
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    num_envs = 8192
+    horizon = 32
+    algo = AlgorithmConfig(
+        num_envs=num_envs,
+        horizon=horizon,
+        sgd_minibatch_size=num_envs * horizon // 4,
+        num_sgd_iters=4,
+    ).build(DiscreteDummyEnv)
+
+    # Warmup (compile collect + step).
+    for _ in range(2):
+        algo.collect()
+        algo.step()
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        algo.collect()
+        algo.step()
+    # collect()/step() convert stats to host floats, which blocks on the
+    # device work, so the wall clock is an honest end-to-end measure.
+    elapsed = time.perf_counter() - start
+    transitions_per_s = num_envs * horizon * iters / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "env_transitions_per_s_with_update",
+                "value": transitions_per_s,
+                "unit": "transitions/s",
+                "vs_baseline": transitions_per_s / REFERENCE_TRANSITIONS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""LazyLemur: an LSTM model that maintains states across horizons.
+
+Flax counterpart of
+``/root/reference/examples/algotrading/models/lstm.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rl8_tpu.data import DataKeys
+from rl8_tpu.models import GenericRecurrentModel, small_uniform_init
+from rl8_tpu.models._recurrent import _StackedLSTM
+from rl8_tpu.nn import MLP, get_activation
+from rl8_tpu.specs import Composite, Unbounded
+
+_FMIN = float(jnp.finfo(jnp.float32).min)
+
+__all__ = ["LazyLemur"]
+
+
+class LazyLemur(GenericRecurrentModel):
+    """LSTM over (invested embedding, log price changes) with action
+    masking (``lstm.py:13-134``).
+
+    Args:
+        invested_embed_dim: Embedding size for the invested flag.
+        hidden_size: LSTM hidden width.
+        num_layers: Number of stacked LSTM cells.
+        hiddens: Hidden layer sizes for the feature/value models.
+        activation_fn: Activation function ID.
+
+    """
+
+    invested_embed_dim: int = 2
+    hidden_size: int = 64
+    num_layers: int = 1
+    hiddens: Sequence[int] = (64, 64)
+    activation_fn: str = "relu"
+    dtype: Any = None
+
+    @property
+    def state_spec(self) -> Composite:
+        return Composite(
+            {
+                DataKeys.HIDDEN_STATES: Unbounded((self.num_layers, self.hidden_size)),
+                DataKeys.CELL_STATES: Unbounded((self.num_layers, self.hidden_size)),
+            }
+        )
+
+    @nn.compact
+    def __call__(
+        self, batch: Any, states: Any
+    ) -> tuple[tuple[dict[str, jax.Array], jax.Array], Any]:
+        obs = batch[DataKeys.OBS]
+        B, T = obs["invested"].shape[:2]
+        x_invested = nn.Embed(2, self.invested_embed_dim, name="invested_embedding")(
+            obs["invested"].reshape(-1)
+        ).reshape(B, T, -1)
+        x = jnp.concatenate(
+            [
+                x_invested,
+                obs["LOG_CHANGE(price, position)"],
+                obs["LOG_CHANGE(price)"],
+            ],
+            axis=-1,
+        )
+        latents, h_n, c_n = _StackedLSTM(
+            self.hidden_size, self.num_layers, name="lstm"
+        )(x, states[DataKeys.HIDDEN_STATES], states[DataKeys.CELL_STATES])
+        latents = latents.reshape(B * T, -1)
+        act = get_activation(self.activation_fn)
+        feats = act(
+            MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
+                name="feature_model")(latents)
+        )
+        logits = nn.Dense(
+            3,
+            kernel_init=small_uniform_init(),
+            bias_init=nn.initializers.zeros,
+            name="feature_head",
+        )(feats).reshape(-1, 1, 3)
+        inf_mask = jnp.clip(
+            jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
+        ).reshape(-1, 1, 3)
+        vf_latents = act(
+            MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
+                name="vf_model")(latents)
+        )
+        values = nn.Dense(1, name="vf_head")(vf_latents)
+        new_states = {DataKeys.HIDDEN_STATES: h_n, DataKeys.CELL_STATES: c_n}
+        return ({"logits": logits + inf_mask}, values), new_states

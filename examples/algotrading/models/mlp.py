@@ -1,0 +1,96 @@
+"""MischievousMule: MLP over aggregated historical price changes.
+
+Flax counterpart of
+``/root/reference/examples/algotrading/models/mlp.py``: a custom view
+requirement (``shift=seq_len`` on a nested observation key,
+``mlp.py:64-66``) provides windows of historical price changes that are
+sum-aggregated at several intervals into the feature vector, with -inf
+action-mask logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rl8_tpu.data import DataKeys
+from rl8_tpu.models import GenericModel, small_uniform_init
+from rl8_tpu.nn import MLP, get_activation
+from rl8_tpu.specs import Spec
+from rl8_tpu.views import ViewRequirement
+
+_FMIN = float(jnp.finfo(jnp.float32).min)
+
+__all__ = ["MischievousMule"]
+
+
+class MischievousMule(GenericModel):
+    """A model that aggregates historical price changes at different
+    intervals to form a latent vector fed into the feature/value heads.
+
+    Args:
+        invested_embed_dim: Embedding size for the invested flag.
+        seq_len: Number of historical price changes to aggregate; must be
+            divisible by 4 and less than the training horizon.
+        hiddens: Hidden layer sizes for the feature and value models.
+        activation_fn: Activation function ID.
+
+    """
+
+    invested_embed_dim: int = 2
+    seq_len: int = 4
+    hiddens: Sequence[int] = (128, 128)
+    activation_fn: str = "relu"
+    dtype: Any = None
+
+    @property
+    def view_requirements(self) -> dict:
+        assert not self.seq_len % 4, "`seq_len` must be divisible by 4."
+        return {
+            DataKeys.OBS: ViewRequirement(shift=0),
+            (DataKeys.OBS, "LOG_CHANGE(price)"): ViewRequirement(shift=self.seq_len),
+        }
+
+    @nn.compact
+    def __call__(self, batch: Any) -> tuple[dict[str, jax.Array], jax.Array]:
+        obs = batch[DataKeys.OBS]
+        L = self.seq_len
+        x_invested = nn.Embed(2, self.invested_embed_dim, name="invested_embedding")(
+            obs["invested"].reshape(-1)
+        )
+        x_price = obs["LOG_CHANGE(price)"][DataKeys.INPUTS]
+        x_price = jnp.concatenate(
+            [
+                jnp.sum(x_price[:, : L // 4], axis=1),
+                jnp.sum(x_price[:, : L // 2], axis=1),
+                jnp.sum(x_price[:, -(L // 2) :], axis=1),
+                jnp.sum(x_price[:, -(L // 4) :], axis=1),
+            ],
+            axis=-1,
+        )
+        x = jnp.concatenate(
+            [x_invested, obs["LOG_CHANGE(price, position)"], x_price], axis=-1
+        )
+        act = get_activation(self.activation_fn)
+        latents = act(
+            MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
+                name="feature_model")(x)
+        )
+        logits = nn.Dense(
+            3,
+            kernel_init=small_uniform_init(),
+            bias_init=nn.initializers.zeros,
+            name="feature_head",
+        )(latents).reshape(-1, 1, 3)
+        inf_mask = jnp.clip(
+            jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
+        ).reshape(-1, 1, 3)
+        vf_latents = act(
+            MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
+                name="vf_model")(x)
+        )
+        values = nn.Dense(1, name="vf_head")(vf_latents)
+        return {"logits": logits + inf_mask}, values

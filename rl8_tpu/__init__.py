@@ -7,8 +7,14 @@ TPU-first on JAX/XLA/Pallas/pjit: pure-functional environments, jitted
 collect/step programs, and env-axis sharding over device meshes.
 """
 
-from .algorithms import Algorithm, AlgorithmConfig
+from .algorithms import (
+    Algorithm,
+    AlgorithmConfig,
+    RecurrentAlgorithm,
+    RecurrentAlgorithmConfig,
+)
 from .env import Env
+from .trainers import RecurrentTrainer, TrainConfig, Trainer
 
 __version__ = "0.1.0"
 
@@ -16,5 +22,10 @@ __all__ = [
     "Algorithm",
     "AlgorithmConfig",
     "Env",
+    "RecurrentAlgorithm",
+    "RecurrentAlgorithmConfig",
+    "RecurrentTrainer",
+    "TrainConfig",
+    "Trainer",
     "__version__",
 ]

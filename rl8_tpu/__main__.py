@@ -1,0 +1,100 @@
+"""Command-line interface: ``rl8-tpu train -f config.yaml``.
+
+Counterpart of ``/root/reference/src/rl8/__main__.py``. Tracking goes to
+a JSONL run directory (``--track-dir``) or MLflow when available and
+requested (``--mlflow``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import tempfile
+
+from .conditions import HitsUpperBound
+from .trainers import TrainConfig
+from .trainers.tracking import JsonlRun, MlflowRun, set_default_run
+
+__all__ = ["main"]
+
+
+def main(argv: None | list[str] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="rl8-tpu",
+        description="TPU-native RL framework CLI (``__main__.py:21-99``).",
+    )
+    subparsers = parser.add_subparsers(dest="command", required=True)
+    train_parser = subparsers.add_parser(
+        "train", help="Train a policy from a YAML/JSON train config."
+    )
+    train_parser.add_argument(
+        "-f",
+        "--file",
+        required=True,
+        help="Path to a YAML or JSON train config file.",
+    )
+    train_parser.add_argument(
+        "--experiment-name",
+        default=None,
+        help="Experiment name used for tracking.",
+    )
+    train_parser.add_argument(
+        "--max-steps",
+        type=int,
+        default=100,
+        help="Maximum number of algorithm steps before training stops.",
+    )
+    train_parser.add_argument(
+        "--steps-per-eval",
+        type=int,
+        default=None,
+        help="Trainer steps between policy evaluations.",
+    )
+    train_parser.add_argument(
+        "--save",
+        default=None,
+        help="Directory to export the trained policy to.",
+    )
+    train_parser.add_argument(
+        "--track-dir",
+        default=None,
+        help="Directory for JSONL metric tracking (a temp dir by default).",
+    )
+    train_parser.add_argument(
+        "--mlflow",
+        action="store_true",
+        help="Track with MLflow instead of JSONL files.",
+    )
+    args = parser.parse_args(argv)
+
+    config = TrainConfig.from_file(args.file)
+    if args.mlflow:
+        import mlflow
+
+        mlflow.set_experiment(args.experiment_name or "rl8-tpu")
+        set_default_run(MlflowRun())
+    else:
+        track_dir = args.track_dir or tempfile.mkdtemp(
+            prefix=f"{args.experiment_name or 'rl8-tpu'}-"
+        )
+        set_default_run(JsonlRun(track_dir))
+        print(f"Tracking metrics to {track_dir}", file=sys.stderr)
+
+    trainer = config.build()
+    trainer.run(
+        steps_per_eval=args.steps_per_eval,
+        stop_conditions=[HitsUpperBound("algorithm/steps", args.max_steps)],
+    )
+    if args.save:
+        save_dir = pathlib.Path(args.save)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        trainer.algorithm.policy.save(
+            save_dir / "policy.pkl", trainer.algorithm.state.params
+        )
+        print(f"Saved policy to {save_dir / 'policy.pkl'}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

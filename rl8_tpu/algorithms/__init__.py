@@ -10,5 +10,12 @@ chips by sharding the env axis over a device mesh (see
 
 from ._base import GenericAlgorithmBase
 from ._feedforward import Algorithm, AlgorithmConfig
+from ._recurrent import RecurrentAlgorithm, RecurrentAlgorithmConfig
 
-__all__ = ["Algorithm", "AlgorithmConfig", "GenericAlgorithmBase"]
+__all__ = [
+    "Algorithm",
+    "AlgorithmConfig",
+    "GenericAlgorithmBase",
+    "RecurrentAlgorithm",
+    "RecurrentAlgorithmConfig",
+]

@@ -1,0 +1,702 @@
+"""Recurrent PPO algorithm.
+
+TPU-native redesign of
+``/root/reference/src/rl8/algorithms/_recurrent.py``. Same compiled
+structure as the feedforward algorithm, with the recurrent deltas:
+
+- ``collect`` threads recurrent states through the horizon scan,
+  re-initializing them on the ``seq_len * seqs_per_state_reset`` cadence
+  (``_recurrent.py:384-392``) with a ``seqs`` counter carried in the
+  jitted state (``:430-431``);
+- ``step`` reshapes the buffer into ``[B * (T / seq_len), seq_len]``
+  truncated-BPTT sequences (``:518``) whose stored *initial* states seed
+  each sequence's forward pass (``:555-564``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data import (
+    CollectStats,
+    DataKeys,
+    RecurrentAlgorithmHparams,
+    RecurrentAlgorithmState,
+    StepStats,
+)
+from ..distributions import Distribution
+from ..env import EnvFactory
+from ..models import RecurrentModel, RecurrentModelFactory
+from ..nn import generalized_advantage_estimate, ppo_losses
+from ..policies import RecurrentPolicy
+from ..schedulers import EntropyScheduler, LRScheduler, ScheduleKind
+from ..specs import assert_nd_spec
+from ..utils import profile_ms
+from ._base import GenericAlgorithmBase
+
+__all__ = ["RecurrentAlgorithmConfig", "RecurrentAlgorithm"]
+
+
+@dataclass
+class RecurrentAlgorithmConfig:
+    """Config for building a recurrent PPO algorithm
+    (``/root/reference/src/rl8/algorithms/_recurrent.py:29-192``); see
+    :class:`rl8_tpu.algorithms.AlgorithmConfig` for shared fields."""
+
+    model: None | RecurrentModel = None
+    model_cls: None | RecurrentModelFactory = None
+    model_config: None | dict[str, Any] = None
+    distribution_cls: None | type[Distribution] = None
+    horizon: int = 32
+    horizons_per_env_reset: int = 1
+    num_envs: int = 8192
+    #: Truncated backprop-through-time sequence length.
+    seq_len: int = 4
+    #: Sequences before recurrent states re-initialize (negative = never).
+    seqs_per_state_reset: int = 8
+    optimizer_cls: Callable[..., optax.GradientTransformation] = optax.adam
+    optimizer_config: None | dict[str, Any] = None
+    accumulate_grads: bool = False
+    enable_amp: bool = False
+    lr_schedule: None | list[tuple[int, float]] = None
+    lr_schedule_kind: ScheduleKind = "step"
+    entropy_coeff: float = 0.0
+    entropy_coeff_schedule: None | list[tuple[int, float]] = None
+    entropy_coeff_schedule_kind: ScheduleKind = "step"
+    gae_lambda: float = 0.95
+    gamma: float = 0.95
+    sgd_minibatch_size: None | int = None
+    num_sgd_iters: int = 4
+    shuffle_minibatches: bool = True
+    clip_param: float = 0.2
+    vf_clip_param: float = 5.0
+    dual_clip_param: None | float = None
+    vf_coeff: float = 1.0
+    target_kl_div: None | float = None
+    max_grad_norm: float = 5.0
+    normalize_advantages: bool = True
+    normalize_rewards: bool = True
+    seed: int = 0
+    mesh: Any = None
+
+    def build(self, env_cls: EnvFactory) -> "RecurrentAlgorithm":
+        """Build and validate a :class:`RecurrentAlgorithm`."""
+        algo = RecurrentAlgorithm(env_cls, config=self)
+        algo.validate()
+        return algo
+
+
+def _seq_major(x: jax.Array, L: int) -> jax.Array:
+    """Time-major ``[T, B, ...]`` -> sequence batch ``[B * T/L, L, ...]``
+    matching the reference's ``buffer.reshape(-1, seq_len)`` element order
+    (``_recurrent.py:518``)."""
+    T, B = x.shape[:2]
+    x = x.reshape(T // L, L, B, *x.shape[2:])
+    x = jnp.moveaxis(x, 2, 0)  # [B, T/L, L, ...]
+    return x.reshape(B * (T // L), L, *x.shape[3:])
+
+
+class RecurrentAlgorithm(
+    GenericAlgorithmBase[
+        RecurrentAlgorithmHparams, RecurrentAlgorithmState, RecurrentPolicy
+    ]
+):
+    """An optimized recurrent PPO algorithm, compiled end-to-end for TPU
+    (``/root/reference/src/rl8/algorithms/_recurrent.py:195-756``).
+
+    Args:
+        env_cls: Highly parallelized environment factory.
+        config: See :class:`RecurrentAlgorithmConfig`.
+
+    """
+
+    def __init__(
+        self, env_cls: EnvFactory, /, config: None | RecurrentAlgorithmConfig = None
+    ) -> None:
+        config = config or RecurrentAlgorithmConfig()
+        max_num_envs = getattr(env_cls, "max_num_envs", config.num_envs)
+        num_envs = min(config.num_envs, max_num_envs)
+        max_horizon = getattr(env_cls, "max_horizon", 1_000_000)
+        horizon = min(config.horizon, max_horizon)
+        self.env = env_cls(num_envs, horizon)
+        assert_nd_spec(self.env.observation_spec)
+        assert_nd_spec(self.env.action_spec)
+
+        model_config = dict(config.model_config or {})
+        if config.model is None and config.model_cls is None and config.enable_amp:
+            model_config.setdefault("dtype", jnp.bfloat16)
+        self.policy = RecurrentPolicy(
+            self.env.observation_spec,
+            self.env.action_spec,
+            model=config.model,
+            model_cls=config.model_cls,
+            model_config=model_config,
+            distribution_cls=config.distribution_cls,
+        )
+
+        sgd_minibatch_size = (
+            config.sgd_minibatch_size
+            if config.sgd_minibatch_size
+            else num_envs * (horizon // config.seq_len)
+        )
+        self.hparams = RecurrentAlgorithmHparams(
+            accumulate_grads=config.accumulate_grads,
+            clip_param=config.clip_param,
+            dual_clip_param=config.dual_clip_param,
+            enable_amp=config.enable_amp,
+            gae_lambda=config.gae_lambda,
+            gamma=config.gamma,
+            horizon=horizon,
+            horizons_per_env_reset=config.horizons_per_env_reset,
+            max_grad_norm=config.max_grad_norm,
+            normalize_advantages=config.normalize_advantages,
+            normalize_rewards=config.normalize_rewards,
+            num_envs=num_envs,
+            num_sgd_iters=config.num_sgd_iters,
+            seq_len=config.seq_len,
+            seqs_per_state_reset=config.seqs_per_state_reset,
+            sgd_minibatch_size=sgd_minibatch_size,
+            shuffle_minibatches=config.shuffle_minibatches,
+            target_kl_div=config.target_kl_div,
+            vf_clip_param=config.vf_clip_param,
+            vf_coeff=config.vf_coeff,
+        ).validate()
+
+        optimizer_config = dict(config.optimizer_config or {"lr": 1e-3})
+        lr0 = optimizer_config.pop("lr", optimizer_config.pop("learning_rate", 1e-3))
+        max_grad_norm = config.max_grad_norm
+        optimizer_cls = config.optimizer_cls
+
+        def _make_optimizer(learning_rate: Any) -> optax.GradientTransformation:
+            return optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optimizer_cls(learning_rate, **optimizer_config),
+            )
+
+        self.optimizer = optax.inject_hyperparams(_make_optimizer)(learning_rate=lr0)
+        self.lr_scheduler = LRScheduler(
+            lr0, schedule=config.lr_schedule, kind=config.lr_schedule_kind
+        )
+        self.entropy_scheduler = EntropyScheduler(
+            config.entropy_coeff,
+            schedule=config.entropy_coeff_schedule,
+            kind=config.entropy_coeff_schedule_kind,
+        )
+        self._static_zero_entropy = (
+            config.entropy_coeff_schedule is None and config.entropy_coeff == 0.0
+        )
+
+        rng = jax.random.key(config.seed)
+        rng, params_key, reset_key = jax.random.split(rng, 3)
+        params = self.policy.init_params(params_key)
+        opt_state = self.optimizer.init(params)
+        env_state, _ = self.env.reset(reset_key)
+        buffer = self._zero_buffer()
+        self.state = RecurrentAlgorithmState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            rng=rng,
+            buffer=buffer,
+            horizons=jnp.asarray(0, dtype=jnp.int32),
+            buffered=jnp.asarray(False),
+            reward_scale=jnp.asarray(1.0, dtype=jnp.float32),
+            seqs=jnp.asarray(0, dtype=jnp.int32),
+        )
+        self.mesh = config.mesh
+        if self.mesh is not None:
+            from ..parallel import shard_state
+
+            self.state = shard_state(self.state, self.mesh, num_envs)
+        self._horizons_host = 0
+        self._collect_fn = jax.jit(
+            self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
+        )
+        self._step_fn = jax.jit(
+            self._step_impl,
+            static_argnames=("use_entropy",),
+            donate_argnums=(0,),
+        )
+
+    def _zero_buffer(self) -> dict[str, Any]:
+        """Time-major buffer; adds per-step recurrent states
+        (``_recurrent.py:260-278``)."""
+        B, T = self.hparams.num_envs, self.hparams.horizon
+        buf: dict[str, Any] = {
+            DataKeys.OBS: self.env.observation_spec.zero((T + 1, B)),
+            DataKeys.STATES: jax.tree_util.tree_map(
+                lambda s: jnp.broadcast_to(s, (T + 1, *s.shape)).copy(),
+                self.policy.init_states(B),
+            ),
+            DataKeys.REWARDS: jnp.zeros((T, B, 1)),
+            DataKeys.ACTIONS: self.env.action_spec.zero((T, B)),
+            DataKeys.LOGP: jnp.zeros((T, B, 1)),
+            DataKeys.VALUES: jnp.zeros((T + 1, B, 1)),
+        }
+        if self.hparams.normalize_rewards:
+            buf[DataKeys.REVERSED_DISCOUNTED_RETURNS] = jnp.zeros((T + 1, B, 1))
+        return buf
+
+    # ------------------------------------------------------------------
+    # collect
+    # ------------------------------------------------------------------
+
+    def _collect_impl(
+        self,
+        state: RecurrentAlgorithmState,
+        env_config: None | dict[str, Any],
+        deterministic: bool,
+    ) -> tuple[RecurrentAlgorithmState, dict[str, jax.Array]]:
+        """One fully-jitted recurrent rollout (``_recurrent.py:325-479``)."""
+        h = self.hparams
+        B, T = h.num_envs, h.horizon
+        model = self.policy.model
+        dist_cls = self.policy.distribution_cls
+        buffer = state.buffer
+
+        rng, reset_key, scan_key = jax.random.split(state.rng, 3)
+
+        def _do_reset(_: None) -> tuple[Any, Any, jax.Array, jax.Array]:
+            env_state, obs0 = self.env.reset(
+                reset_key, state=state.env_state, config=env_config
+            )
+            return env_state, obs0, jnp.zeros((B, 1)), jnp.asarray(True)
+
+        def _carry(_: None) -> tuple[Any, Any, jax.Array, jax.Array]:
+            obs0 = jax.tree_util.tree_map(lambda x: x[-1], buffer[DataKeys.OBS])
+            rev0 = (
+                buffer[DataKeys.REVERSED_DISCOUNTED_RETURNS][-1]
+                if h.normalize_rewards
+                else jnp.zeros((B, 1))
+            )
+            return state.env_state, obs0, rev0, jnp.asarray(False)
+
+        if h.horizons_per_env_reset < 0:
+            reset_now = state.horizons == 0
+        else:
+            reset_now = (state.horizons % h.horizons_per_env_reset) == 0
+        env_state, obs0, rev0, was_reset = jax.lax.cond(
+            reset_now, _do_reset, _carry, None
+        )
+
+        # Recurrent states always carry across collects
+        # (``_recurrent.py:380-382``); the reset cadence below reinits them.
+        states0 = jax.tree_util.tree_map(lambda s: s[-1], buffer[DataKeys.STATES])
+        init_states = self.policy.init_states(B)
+
+        def _scan_step(carry: Any, xs: Any) -> tuple[Any, Any]:
+            t, key = xs
+            env_state, obs, states, rev, seqs = carry
+            # State re-init cadence (``_recurrent.py:384-392``).
+            if h.seqs_per_state_reset < 0:
+                reset_states = (seqs == 0) & (t == 0)
+            else:
+                reset_states = ((t % h.seq_len) == 0) & (
+                    (seqs % h.seqs_per_state_reset) == 0
+                )
+            states = jax.tree_util.tree_map(
+                lambda init, s: jnp.where(reset_states, init, s),
+                init_states,
+                states,
+            )
+            in_batch = {
+                DataKeys.OBS: jax.tree_util.tree_map(lambda o: o[:, None], obs)
+            }
+            (features, values), new_states = model.apply(
+                {"params": state.params}, in_batch, states
+            )
+            dist = dist_cls(features, model)
+            if deterministic:
+                actions = dist.deterministic_sample()
+            else:
+                actions = dist.sample(key)
+            logp = dist.logp(actions)
+            env_state, obs_next, rewards = self.env.step(env_state, actions)
+            rev_next = h.gamma * rev + rewards if h.normalize_rewards else rev
+            seqs = seqs + (((t + 1) % h.seq_len) == 0).astype(jnp.int32)
+            return (
+                (env_state, obs_next, new_states, rev_next, seqs),
+                (obs_next, states, actions, logp, values, rewards, rev_next),
+            )
+
+        keys = jax.random.split(scan_key, T)
+        ts = jnp.arange(T, dtype=jnp.int32)
+        (env_state, _, final_states, _, seqs), ys = jax.lax.scan(
+            _scan_step, (env_state, obs0, states0, rev0, state.seqs), (ts, keys)
+        )
+        obs_rest, in_states, actions, logp, values, rewards, rev_rest = ys
+
+        # Bootstrap value at the final observation (``:433-446``).
+        in_batch = {
+            DataKeys.OBS: jax.tree_util.tree_map(
+                lambda o: o[-1][:, None], obs_rest
+            )
+        }
+        (_, v_last), _ = model.apply(
+            {"params": state.params}, in_batch, final_states
+        )
+
+        obs_full = jax.tree_util.tree_map(
+            lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
+            obs0,
+            obs_rest,
+        )
+        # Buffer states: input states per step + the carried-out states.
+        states_full = jax.tree_util.tree_map(
+            lambda per_t, last: jnp.concatenate([per_t, last[None]], axis=0),
+            in_states,
+            final_states,
+        )
+        values_full = jnp.concatenate([values, v_last[None]], axis=0)
+        new_buffer: dict[str, Any] = {
+            DataKeys.OBS: obs_full,
+            DataKeys.STATES: states_full,
+            DataKeys.REWARDS: rewards,
+            DataKeys.ACTIONS: actions,
+            DataKeys.LOGP: logp,
+            DataKeys.VALUES: values_full,
+        }
+        if h.normalize_rewards:
+            rev_full = jnp.concatenate([rev0[None], rev_rest], axis=0)
+            new_buffer[DataKeys.REVERSED_DISCOUNTED_RETURNS] = rev_full
+            reward_scale = jnp.std(rev_full[1:])
+        else:
+            reward_scale = jnp.asarray(1.0, dtype=jnp.float32)
+
+        returns = jnp.sum(rewards, axis=0)
+        stats = {
+            "returns/min": jnp.min(returns),
+            "returns/max": jnp.max(returns),
+            "returns/mean": jnp.mean(returns),
+            "returns/std": jnp.std(returns),
+            "rewards/min": jnp.min(rewards),
+            "rewards/max": jnp.max(rewards),
+            "rewards/mean": jnp.mean(rewards),
+            "rewards/std": jnp.std(rewards),
+            "env/was_reset": was_reset,
+        }
+        new_state = state.replace(
+            env_state=env_state,
+            rng=rng,
+            buffer=new_buffer,
+            horizons=state.horizons + 1,
+            buffered=jnp.asarray(True),
+            reward_scale=reward_scale,
+            seqs=seqs,
+        )
+        return new_state, stats
+
+    def collect(
+        self,
+        *,
+        env_config: None | dict[str, Any] = None,
+        deterministic: bool = False,
+    ) -> CollectStats:
+        """Collect transitions, threading recurrent states
+        (``/root/reference/src/rl8/algorithms/_recurrent.py:325-479``)."""
+        with profile_ms() as collect_timer:
+            self.state, stats = self._collect_fn(
+                self.state, env_config, deterministic
+            )
+            stats = jax.device_get(stats)
+        self._horizons_host += 1
+        collect_stats: CollectStats = {
+            k: float(v) for k, v in stats.items() if k != "env/was_reset"
+        }
+        collect_stats["env/resets"] = self.hparams.num_envs * int(
+            stats["env/was_reset"]
+        )
+        collect_stats["env/steps"] = self.hparams.num_envs * self.hparams.horizon
+        collect_stats["profiling/collect_ms"] = collect_timer()
+        return collect_stats
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+
+    def _step_impl(
+        self,
+        state: RecurrentAlgorithmState,
+        lr: jax.Array,
+        entropy_coeff: jax.Array | float,
+        use_entropy: bool,
+    ) -> tuple[RecurrentAlgorithmState, dict[str, jax.Array]]:
+        """One fully-jitted recurrent PPO update
+        (``_recurrent.py:481-652``)."""
+        h = self.hparams
+        B, T, L = h.num_envs, h.horizon, h.seq_len
+        N = B * (T // L)
+        M = h.num_minibatches
+        E = h.num_sgd_iters
+        accum = M if h.accumulate_grads else 1
+        model = self.policy.model
+        dist_cls = self.policy.distribution_cls
+        buffer = state.buffer
+        entropy_coeff = entropy_coeff if use_entropy else 0.0
+
+        advantages, returns = generalized_advantage_estimate(
+            buffer[DataKeys.REWARDS],
+            buffer[DataKeys.VALUES],
+            gae_lambda=h.gae_lambda,
+            gamma=h.gamma,
+            normalize_advantages=h.normalize_advantages,
+            return_returns=True,
+            reward_scale=state.reward_scale,
+        )
+
+        # Sequence minibatching (``_recurrent.py:518``): each batch element
+        # is a [seq_len] chunk; its stored initial states seed the forward.
+        flat = {
+            DataKeys.OBS: jax.tree_util.tree_map(
+                lambda x: _seq_major(x[:T], L), buffer[DataKeys.OBS]
+            ),
+            DataKeys.STATES: jax.tree_util.tree_map(
+                lambda s: _seq_major(s[:T], L)[:, 0], buffer[DataKeys.STATES]
+            ),
+            DataKeys.ACTIONS: _seq_major(buffer[DataKeys.ACTIONS], L),
+            DataKeys.LOGP: _seq_major(buffer[DataKeys.LOGP], L),
+            DataKeys.ADVANTAGES: _seq_major(advantages, L),
+            DataKeys.RETURNS: _seq_major(returns, L),
+        }
+        final_obs = jax.tree_util.tree_map(lambda x: x[-1], buffer[DataKeys.OBS])
+        final_states = jax.tree_util.tree_map(
+            lambda s: s[-1], buffer[DataKeys.STATES]
+        )
+
+        rng, perm_key = jax.random.split(state.rng)
+        if h.shuffle_minibatches:
+            perm_keys = jax.random.split(perm_key, E)
+            perms = jnp.stack([jax.random.permutation(k, N) for k in perm_keys])
+        else:
+            perms = jnp.tile(jnp.arange(N), (E, 1))
+        idx = perms.reshape(E * M, h.sgd_minibatch_size)
+        pos_in_epoch = jnp.arange(E * M) % M
+        apply_flags = ((pos_in_epoch + 1) % accum) == 0
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        sum_keys = ("entropy", "policy", "vf", "total", "kl_div")
+        zero_sums = {k: jnp.asarray(0.0) for k in sum_keys}
+        carry0 = {
+            "params": state.params,
+            "opt_state": opt_state,
+            "grad_acc": jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            "stopped": jnp.asarray(False),
+            "window_sums": dict(zero_sums),
+            "totals": dict(zero_sums),
+            "n_windows": jnp.asarray(0.0),
+        }
+
+        def _loss_fn(params: Any, mb: dict[str, Any]) -> tuple[jax.Array, Any]:
+            (features, values), _ = model.apply(
+                {"params": params},
+                {DataKeys.OBS: mb[DataKeys.OBS]},
+                mb[DataKeys.STATES],
+            )
+            # Flatten the [mb, L] buffer batch to align with [mb * L]
+            # model outputs (``_recurrent.py:565``).
+            flat_mb = {
+                k: mb[k].reshape(-1, *mb[k].shape[2:])
+                for k in (
+                    DataKeys.ACTIONS,
+                    DataKeys.LOGP,
+                    DataKeys.ADVANTAGES,
+                    DataKeys.RETURNS,
+                )
+            }
+            dist = dist_cls(features, model)
+            losses = ppo_losses(
+                flat_mb,
+                values,
+                dist,
+                clip_param=h.clip_param,
+                dual_clip_param=h.dual_clip_param,
+                entropy_coeff=entropy_coeff,
+                vf_clip_param=h.vf_clip_param,
+                vf_coeff=h.vf_coeff,
+            )
+            logp_ratio = dist.logp(flat_mb[DataKeys.ACTIONS]) - flat_mb[DataKeys.LOGP]
+            kl = jnp.mean((jnp.exp(logp_ratio) - 1) - logp_ratio)
+            kl = jax.lax.stop_gradient(kl)
+            return losses["total"] / accum, (losses, kl)
+
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+
+        def _minibatch(carry: dict[str, Any], xs: Any) -> tuple[dict[str, Any], None]:
+            idx_row, apply_flag = xs
+
+            def _process(carry: dict[str, Any]) -> dict[str, Any]:
+                mb = jax.tree_util.tree_map(lambda x: x[idx_row], flat)
+                (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
+                trigger = (
+                    kl > 1.5 * h.target_kl_div
+                    if h.target_kl_div is not None
+                    else jnp.asarray(False)
+                )
+                scaled = {
+                    k: losses[k] / accum for k in ("entropy", "policy", "vf", "total")
+                }
+                scaled["kl_div"] = kl / accum
+                window_sums = {
+                    k: carry["window_sums"][k] + scaled[k] for k in sum_keys
+                }
+                grad_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g, carry["grad_acc"], grads
+                )
+
+                def _apply(args: Any) -> Any:
+                    params, opt_state, grad_acc, window_sums, totals, n = args
+
+                    def _update(_: None) -> tuple[Any, Any]:
+                        updates, new_opt = self.optimizer.update(
+                            grad_acc, opt_state, params
+                        )
+                        return optax.apply_updates(params, updates), new_opt
+
+                    def _skip_update(_: None) -> tuple[Any, Any]:
+                        return params, opt_state
+
+                    params, opt_state = jax.lax.cond(
+                        trigger, _skip_update, _update, None
+                    )
+                    totals = {k: totals[k] + window_sums[k] for k in sum_keys}
+                    return (
+                        params,
+                        opt_state,
+                        jax.tree_util.tree_map(jnp.zeros_like, grad_acc),
+                        dict(zero_sums),
+                        totals,
+                        n + 1.0,
+                    )
+
+                def _no_apply(args: Any) -> Any:
+                    return args
+
+                params, opt_state, grad_acc, window_sums, totals, n = jax.lax.cond(
+                    apply_flag,
+                    _apply,
+                    _no_apply,
+                    (
+                        carry["params"],
+                        carry["opt_state"],
+                        grad_acc,
+                        window_sums,
+                        carry["totals"],
+                        carry["n_windows"],
+                    ),
+                )
+                return {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "grad_acc": grad_acc,
+                    "stopped": carry["stopped"] | trigger,
+                    "window_sums": window_sums,
+                    "totals": totals,
+                    "n_windows": n,
+                }
+
+            carry = jax.lax.cond(carry["stopped"], lambda c: c, _process, carry)
+            return carry, None
+
+        carry, _ = jax.lax.scan(_minibatch, carry0, (idx, apply_flags))
+
+        n = jnp.maximum(carry["n_windows"], 1.0)
+        stats = {
+            "losses/entropy": carry["totals"]["entropy"] / n,
+            "losses/policy": carry["totals"]["policy"] / n,
+            "losses/vf": carry["totals"]["vf"] / n,
+            "losses/total": carry["totals"]["total"] / n,
+            "monitors/kl_div": carry["totals"]["kl_div"] / n,
+        }
+
+        # Reset the buffer, restoring final obs AND final states
+        # (``_recurrent.py:638-647``).
+        new_buffer = jax.tree_util.tree_map(jnp.zeros_like, buffer)
+        new_buffer[DataKeys.OBS] = jax.tree_util.tree_map(
+            lambda z, o: z.at[-1].set(o), new_buffer[DataKeys.OBS], final_obs
+        )
+        new_buffer[DataKeys.STATES] = jax.tree_util.tree_map(
+            lambda z, s: z.at[-1].set(s), new_buffer[DataKeys.STATES], final_states
+        )
+        new_state = state.replace(
+            params=carry["params"],
+            opt_state=carry["opt_state"],
+            rng=rng,
+            buffer=new_buffer,
+            buffered=jnp.asarray(False),
+        )
+        return new_state, stats
+
+    def step(self) -> StepStats:
+        """Update the policy using the collected buffer
+        (``/root/reference/src/rl8/algorithms/_recurrent.py:481-652``)."""
+        if not bool(jax.device_get(self.state.buffered)):
+            raise RuntimeError(
+                f"{self.__class__.__name__} is not buffered. "
+                "Call `collect` once prior to `step`."
+            )
+        with profile_ms() as step_timer:
+            entropy_coeff = (
+                0.0 if self._static_zero_entropy else self.entropy_scheduler.coeff
+            )
+            self.state, stats = self._step_fn(
+                self.state,
+                self.lr_scheduler.coeff,
+                entropy_coeff,
+                use_entropy=not self._static_zero_entropy,
+            )
+            stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+            count = self.hparams.num_envs * self._horizons_host
+            self.lr_scheduler.step(count)
+            self.entropy_scheduler.step(count)
+        step_stats: StepStats = {
+            "coefficients/entropy": float(entropy_coeff),
+            "coefficients/vf": self.hparams.vf_coeff,
+            **stats,
+        }
+        step_stats["profiling/step_ms"] = step_timer()
+        return step_stats
+
+    def validate(self) -> None:
+        """Eagerly validate env/policy/buffer shape contracts
+        (``/root/reference/src/rl8/algorithms/_recurrent.py:654-756``)."""
+        B = self.hparams.num_envs
+        key = jax.random.key(0)
+        env_state, obs = self.env.reset(key)
+        self.env.observation_spec.assert_is_in(obs)
+        states = self.policy.init_states(B)
+        batch = {DataKeys.OBS: jax.tree_util.tree_map(lambda o: o[:, None], obs)}
+        sample, new_states = self.policy.sample(
+            self.state.params,
+            batch,
+            states,
+            key=key,
+            deterministic=False,
+            return_actions=True,
+            return_logp=True,
+            return_values=True,
+        )
+        actions = sample[DataKeys.ACTIONS]
+        assert jnp.ndim(actions) >= 2, (
+            "Actions must be at least 2D and have shape ``[N, ...]``."
+        )
+        self.env.action_spec.assert_is_in(actions)
+        assert sample[DataKeys.LOGP].shape == (B, 1), (
+            "Action log probabilities must be 2D with shape ``[N, 1]``."
+        )
+        assert sample[DataKeys.VALUES].shape == (B, 1), (
+            "Value estimates must be 2D with shape ``[N, 1]``."
+        )
+        flat_states = jax.tree_util.tree_leaves(new_states)
+        for leaf in flat_states:
+            assert leaf.shape[0] == B, (
+                "Recurrent states must keep the batch dimension ``[N, ...]``."
+            )
+        env_state, obs, rewards = self.env.step(env_state, actions)
+        self.env.observation_spec.assert_is_in(obs)
+        assert rewards.shape == (B, 1), "Rewards must be 2D with shape ``[N, 1]``."

@@ -1,0 +1,11 @@
+"""Pallas TPU kernels for hot ops.
+
+The reference leans on ``torch.compile``/aten for its fast paths (see
+SURVEY.md section 2); the TPU analog is XLA fusion, with Pallas kernels
+where a single fused kernel beats what XLA schedules — currently the
+reverse-time GAE scan.
+"""
+
+from .gae import pallas_gae
+
+__all__ = ["pallas_gae"]

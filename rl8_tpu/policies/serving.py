@@ -1,0 +1,167 @@
+"""Inference/serving shims for exported policies.
+
+Counterpart of the reference's MLflow pyfunc models
+(``/root/reference/src/rl8/policies/_feedforward.py:193-310`` and
+``_recurrent.py:189-324``): load a pickled policy and serve batched
+predictions from NumPy inputs as DataFrames. The same classes plug into
+``mlflow.pyfunc`` when MLflow is installed (they implement
+``load_context``/``predict`` duck-typed), but they work standalone.
+"""
+
+from __future__ import annotations
+
+from os import PathLike
+from typing import Any
+
+import numpy as np
+
+from ..data import DataKeys
+from ._feedforward import Policy
+from ._recurrent import RecurrentPolicy
+
+__all__ = [
+    "PolicyModel",
+    "RecurrentPolicyModel",
+    "get_batch_size_from_model_input",
+]
+
+
+def get_batch_size_from_model_input(x: Any, /) -> tuple[int, int]:
+    """Recursively sniff the ``[B, T]`` batch size from a (possibly
+    nested) mapping of NumPy arrays
+    (``/root/reference/src/rl8/_utils.py:62-99``)."""
+    if isinstance(x, dict):
+        for v in x.values():
+            return get_batch_size_from_model_input(v)
+        raise TypeError("Empty mapping has no batch size.")
+    arr = np.asarray(x)
+    if arr.ndim < 3:
+        raise ValueError("Policy model input element must have dimension >= 3.")
+    return int(arr.shape[0]), int(arr.shape[1])
+
+
+def _to_dataframe(batch: dict[str, Any], n_rows: int) -> Any:
+    """Convert a flat mapping of ``[N, ...]`` arrays to a DataFrame
+    (``/root/reference/src/rl8/_utils.py:147-172``)."""
+    import pandas as pd
+
+    df = pd.DataFrame(index=range(n_rows))
+    for k, v in batch.items():
+        df[k] = np.asarray(v).tolist()
+    return df
+
+
+class PolicyModel:
+    """Serving wrapper for a feedforward policy
+    (``policies/_feedforward.py:193-310``).
+
+    Examples:
+        >>> from rl8_tpu.policies.serving import PolicyModel
+        >>> model = PolicyModel.load("policy.pkl")  # doctest: +SKIP
+        >>> model.predict({"obs": obs_ndarray})  # doctest: +SKIP
+
+    """
+
+    policy: Policy
+    params: Any
+
+    def __init__(self, policy: Policy | None = None, params: Any = None) -> None:
+        if policy is not None:
+            self.policy = policy
+            self.params = params
+
+    @classmethod
+    def load(cls, path: str | PathLike[str], /) -> "PolicyModel":
+        """Load a policy exported with :meth:`Policy.save`."""
+        model = cls()
+        model.policy, model.params = Policy.load(path)
+        return model
+
+    def load_context(self, context: Any) -> None:
+        """MLflow pyfunc hook: load from the ``"policy"`` artifact."""
+        self.policy, self.params = Policy.load(context.artifacts["policy"])
+
+    def predict(
+        self,
+        model_input: dict[str, Any],
+        context: Any = None,
+        params: None | dict[str, Any] = None,
+    ) -> Any:
+        """Deterministically sample the policy for a ``[B, T, ...]`` obs
+        batch, returning a ``B * T``-row DataFrame of actions, log
+        probabilities, and value estimates."""
+        obs = model_input[DataKeys.OBS]
+        B, T = get_batch_size_from_model_input(obs)
+        batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}
+        out = self.policy.sample(
+            self.params,
+            batch,
+            kind="all",
+            deterministic=True,
+            return_actions=True,
+            return_logp=True,
+            return_values=True,
+        )
+        selected = {
+            DataKeys.ACTIONS: out[DataKeys.ACTIONS],
+            DataKeys.LOGP: out[DataKeys.LOGP],
+            DataKeys.VALUES: out[DataKeys.VALUES],
+        }
+        return _to_dataframe(selected, B * T)
+
+
+class RecurrentPolicyModel:
+    """Serving wrapper for a recurrent policy
+    (``policies/_recurrent.py:189-324``). ``predict`` also accepts and
+    returns recurrent states."""
+
+    policy: RecurrentPolicy
+    params: Any
+
+    def __init__(
+        self, policy: RecurrentPolicy | None = None, params: Any = None
+    ) -> None:
+        if policy is not None:
+            self.policy = policy
+            self.params = params
+
+    @classmethod
+    def load(cls, path: str | PathLike[str], /) -> "RecurrentPolicyModel":
+        model = cls()
+        model.policy, model.params = RecurrentPolicy.load(path)
+        return model
+
+    def load_context(self, context: Any) -> None:
+        self.policy, self.params = RecurrentPolicy.load(context.artifacts["policy"])
+
+    def predict(
+        self,
+        model_input: dict[str, Any],
+        context: Any = None,
+        params: None | dict[str, Any] = None,
+    ) -> tuple[Any, Any]:
+        """Deterministically sample for a ``[B, T, ...]`` obs batch (and
+        optional ``"states"``), returning ``(outputs_df, states_df)``."""
+        obs = model_input[DataKeys.OBS]
+        B, T = get_batch_size_from_model_input(obs)
+        batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}
+        if DataKeys.STATES in model_input:
+            states = self.policy.state_spec.encode(model_input[DataKeys.STATES])
+        else:
+            states = self.policy.init_states(B)
+        out, new_states = self.policy.sample(
+            self.params,
+            batch,
+            states,
+            deterministic=True,
+            return_actions=True,
+            return_logp=True,
+            return_values=True,
+        )
+        selected = {
+            DataKeys.ACTIONS: out[DataKeys.ACTIONS],
+            DataKeys.LOGP: out[DataKeys.LOGP],
+            DataKeys.VALUES: out[DataKeys.VALUES],
+        }
+        states_flat = {k: v for k, v in new_states.items()}
+        return _to_dataframe(selected, B * T), _to_dataframe(states_flat, B)

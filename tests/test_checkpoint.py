@@ -1,0 +1,57 @@
+"""Checkpoint/resume tests (a capability beyond the reference; see
+SURVEY.md section 5)."""
+
+import jax
+import numpy as np
+
+from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
+from rl8_tpu.checkpoint import restore_checkpoint, save_checkpoint
+from rl8_tpu.env import DiscreteDummyEnv
+
+CFG = dict(num_envs=8, horizon=4, model_config={"hiddens": (8,)}, seed=7)
+
+
+def test_checkpoint_round_trip_bit_exact(tmp_path) -> None:
+    """Training resumed from a checkpoint matches uninterrupted training."""
+    algo = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    algo.collect()
+    algo.step()
+    save_checkpoint(tmp_path / "ckpt", algo, trainer_state={"algorithm/steps": 1})
+
+    # Continue the original run.
+    algo.collect()
+    stats_a = algo.step()
+    params_a = jax.device_get(algo.state.params)
+
+    # Restore into a fresh algorithm and continue identically.
+    algo_b = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    trainer_state = restore_checkpoint(tmp_path / "ckpt", algo_b)
+    assert trainer_state == {"algorithm/steps": 1}
+    algo_b.collect()
+    stats_b = algo_b.step()
+    params_b = jax.device_get(algo_b.state.params)
+
+    for key in ("losses/total", "losses/policy", "monitors/kl_div"):
+        assert abs(stats_a[key] - stats_b[key]) < 1e-6, key
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), params_a, params_b
+    )
+
+
+def test_recurrent_checkpoint_round_trip(tmp_path) -> None:
+    cfg = dict(
+        num_envs=8,
+        horizon=4,
+        seq_len=2,
+        seqs_per_state_reset=2,
+        model_config={"hidden_size": 8},
+        seed=7,
+    )
+    algo = RecurrentAlgorithmConfig(**cfg).build(DiscreteDummyEnv)
+    algo.collect()
+    algo.step()
+    save_checkpoint(tmp_path / "ckpt", algo)
+    algo_b = RecurrentAlgorithmConfig(**cfg).build(DiscreteDummyEnv)
+    restore_checkpoint(tmp_path / "ckpt", algo_b)
+    assert int(algo_b.state.horizons) == 1
+    assert int(algo_b.state.seqs) == int(algo.state.seqs)

@@ -1,0 +1,112 @@
+"""TrainConfig file loading and CLI end-to-end tests."""
+
+import json
+
+import pytest
+
+from rl8_tpu import TrainConfig
+from rl8_tpu.__main__ import main
+from rl8_tpu.env import DiscreteDummyEnv
+from rl8_tpu.trainers import RecurrentTrainer, Trainer
+
+
+def _write_yaml(tmp_path, text: str) -> str:
+    p = tmp_path / "config.yaml"
+    p.write_text(text)
+    return str(p)
+
+
+def test_train_config_from_yaml(tmp_path) -> None:
+    path = _write_yaml(
+        tmp_path,
+        "env_cls: rl8_tpu.env.DiscreteDummyEnv\n"
+        "algorithm_config:\n"
+        "  horizon: 4\n"
+        "  num_envs: 8\n"
+        "  gamma: 1\n",
+    )
+    config = TrainConfig.from_file(path)
+    assert config.env_cls is DiscreteDummyEnv
+    trainer = config.build()
+    assert isinstance(trainer, Trainer)
+    assert trainer.algorithm.hparams.gamma == 1
+    assert trainer.algorithm.hparams.horizon == 4
+
+
+def test_train_config_recurrent_and_dotted_imports(tmp_path) -> None:
+    path = _write_yaml(
+        tmp_path,
+        "env_cls: rl8_tpu.env.DiscreteDummyEnv\n"
+        "recurrent: true\n"
+        "algorithm_config:\n"
+        "  horizon: 4\n"
+        "  num_envs: 8\n"
+        "  seq_len: 2\n"
+        "  seqs_per_state_reset: 2\n"
+        "  optimizer_cls: optax.sgd\n"
+        "  distribution_cls: rl8_tpu.distributions.Categorical\n",
+    )
+    trainer = TrainConfig.from_file(path).build()
+    assert isinstance(trainer, RecurrentTrainer)
+
+
+def test_train_config_from_json(tmp_path) -> None:
+    p = tmp_path / "config.json"
+    p.write_text(
+        json.dumps(
+            {
+                "env_cls": "rl8_tpu.env.DiscreteDummyEnv",
+                "algorithm_config": {"horizon": 4, "num_envs": 8},
+            }
+        )
+    )
+    trainer = TrainConfig.from_file(p).build()
+    assert isinstance(trainer, Trainer)
+
+
+def test_train_config_requires_env_cls(tmp_path) -> None:
+    path = _write_yaml(tmp_path, "algorithm_config: {}\n")
+    with pytest.raises(RuntimeError):
+        TrainConfig.from_file(path)
+
+
+def test_train_config_bad_import(tmp_path) -> None:
+    path = _write_yaml(tmp_path, "env_cls: not.a.real.Env\n")
+    with pytest.raises(ImportError):
+        TrainConfig.from_file(path)
+
+
+def test_cli_train_and_save(tmp_path) -> None:
+    """The `train` subcommand runs to the stop condition, tracks metrics,
+    and exports the policy (``/root/reference/src/rl8/__main__.py:21-99``)."""
+    config = _write_yaml(
+        tmp_path,
+        "env_cls: rl8_tpu.env.DiscreteDummyEnv\n"
+        "algorithm_config:\n"
+        "  horizon: 4\n"
+        "  num_envs: 8\n"
+        "  model_config:\n"
+        "    hiddens: [8]\n",
+    )
+    save_dir = tmp_path / "saved"
+    track_dir = tmp_path / "track"
+    rc = main(
+        [
+            "train",
+            "-f",
+            config,
+            "--max-steps",
+            "2",
+            "--save",
+            str(save_dir),
+            "--track-dir",
+            str(track_dir),
+        ]
+    )
+    assert rc == 0
+    assert (save_dir / "policy.pkl").exists()
+    metrics = (track_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) == 2
+    record = json.loads(metrics[-1])
+    assert record["algorithm/steps"] == 2
+    assert "losses/total" in record

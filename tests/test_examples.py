@@ -1,0 +1,102 @@
+"""End-to-end checks for the bundled examples (small configs), mirroring
+the reference's example coverage (SURVEY.md section 2.2)."""
+
+import jax
+import pytest
+
+from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
+
+from examples.algotrading.env import AlgoTrading
+from examples.algotrading.models import AttentiveAlpaca, LazyLemur, MischievousMule
+from examples.cartpole.env import CartPole
+from examples.mountain_car.env import MountainCar
+from examples.pendulum.env import Pendulum
+
+SMALL = dict(num_envs=8, horizon=8)
+
+
+@pytest.mark.parametrize("env_cls", [CartPole, Pendulum, MountainCar])
+def test_classic_control_envs_train_one_step(env_cls) -> None:
+    algo = AlgorithmConfig(
+        **SMALL, model_config={"hiddens": (16,)}
+    ).build(env_cls)
+    algo.collect()
+    stats = algo.step()
+    assert "losses/total" in stats
+
+
+def test_cartpole_env_dynamics() -> None:
+    env = CartPole(4, 16)
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (4, 5)
+    state, obs, rewards = env.step(state, env.action_spec.zero((4,)))
+    assert obs.shape == (4, 5)
+    assert rewards.shape == (4, 1)
+    # Shaped rewards are negative away from the upright balance point.
+    assert float(rewards.max()) <= 0.0
+
+
+def test_cartpole_domain_randomization() -> None:
+    env = CartPole(4, 16)
+    state, _ = env.reset(jax.random.key(0), config={"gravity": 1.0})
+    assert float(state["cfg"]["gravity"]) == 1.0
+    # Like the reference, CartPole's config rebuilds from defaults on a
+    # config-less reset (``/root/reference/examples/cartpole/env.py:127``).
+    state, _ = env.reset(jax.random.key(1), state=state)
+    assert abs(float(state["cfg"]["gravity"]) - 9.8) < 1e-5
+
+
+def test_pendulum_rewards_nonpositive() -> None:
+    env = Pendulum(4, 16)
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (4, 3)
+    state, obs, rewards = env.step(state, env.action_spec.zero((4,)))
+    assert float(rewards.max()) <= 0.0
+
+
+def test_algotrading_env_contract() -> None:
+    env = AlgoTrading(8, 16)
+    state, obs = env.reset(jax.random.key(0))
+    env.observation_spec.assert_is_in(obs)
+    assert obs["action_mask"].shape == (8, 3)
+    # Not invested at reset: HOLD/BUY valid, SELL invalid.
+    assert bool(obs["action_mask"][:, 0].all())
+    assert bool(obs["action_mask"][:, 1].all())
+    assert not bool(obs["action_mask"][:, 2].any())
+    # Buy everywhere -> now invested; SELL valid, BUY invalid.
+    import jax.numpy as jnp
+
+    buy = jnp.ones((8, 1), dtype=jnp.int32)
+    state, obs, rewards = env.step(state, buy)
+    assert bool(obs["invested"].all())
+    assert not bool(obs["action_mask"][:, 1].any())
+    assert bool(obs["action_mask"][:, 2].all())
+
+
+@pytest.mark.parametrize(
+    "model_cls,model_config",
+    [
+        (MischievousMule, {"hiddens": (16,), "seq_len": 4}),
+        (AttentiveAlpaca, {"hiddens": (16,), "seq_len": 4, "num_layers": 1}),
+    ],
+)
+def test_algotrading_feedforward_models_train(model_cls, model_config) -> None:
+    algo = AlgorithmConfig(
+        **SMALL, model_cls=model_cls, model_config=model_config
+    ).build(AlgoTrading)
+    algo.collect()
+    stats = algo.step()
+    assert "losses/total" in stats
+
+
+def test_algotrading_recurrent_model_trains() -> None:
+    algo = RecurrentAlgorithmConfig(
+        **SMALL,
+        seq_len=2,
+        seqs_per_state_reset=4,
+        model_cls=LazyLemur,
+        model_config={"hiddens": (16,), "hidden_size": 16},
+    ).build(AlgoTrading)
+    algo.collect()
+    stats = algo.step()
+    assert "losses/total" in stats

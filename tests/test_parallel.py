@@ -1,0 +1,112 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh — the
+JAX-idiomatic way to validate the multi-chip path without a TPU pod
+(SURVEY.md section 4 implications)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
+from rl8_tpu.data import DataKeys
+from rl8_tpu.env import DiscreteDummyEnv
+from rl8_tpu.parallel import ENV_AXIS, create_mesh, shard_state
+
+NUM_ENVS = 16
+HORIZON = 4
+
+
+def test_create_mesh_over_all_devices() -> None:
+    mesh = create_mesh()
+    assert mesh.shape[ENV_AXIS] == 8
+
+
+def test_sharded_state_placement() -> None:
+    mesh = create_mesh()
+    algo = AlgorithmConfig(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        model_config={"hiddens": (8,)},
+        mesh=mesh,
+    ).build(DiscreteDummyEnv)
+    # Env-batched leaves sharded over devices; params replicated.
+    env_leaf = algo.state.env_state["position"]
+    assert len(env_leaf.sharding.device_set) == 8
+    buffer_leaf = algo.state.buffer[DataKeys.OBS]
+    assert not buffer_leaf.sharding.is_fully_replicated
+    params_leaf = jax.tree_util.tree_leaves(algo.state.params)[0]
+    assert params_leaf.sharding.is_fully_replicated
+
+
+def test_sharded_training_matches_single_device() -> None:
+    """The sharded train step computes the same math as the single-device
+    one (global reductions preserved under GSPMD)."""
+    kwargs = dict(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        model_config={"hiddens": (8,)},
+        seed=3,
+        entropy_coeff=0.01,
+    )
+    single = AlgorithmConfig(**kwargs).build(DiscreteDummyEnv)
+    single.collect()
+    stats_single = single.step()
+
+    sharded = AlgorithmConfig(**kwargs, mesh=create_mesh()).build(DiscreteDummyEnv)
+    sharded.collect()
+    stats_sharded = sharded.step()
+
+    for key in ("losses/total", "losses/policy", "losses/vf", "monitors/kl_div"):
+        assert abs(stats_single[key] - stats_sharded[key]) < 1e-4, key
+    params_a = jax.device_get(single.state.params)
+    params_b = jax.device_get(sharded.state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        params_a,
+        params_b,
+    )
+
+
+def test_sharded_training_learns() -> None:
+    mesh = create_mesh()
+    algo = AlgorithmConfig(
+        num_envs=128,
+        horizon=16,
+        seed=1,
+        model_config={"hiddens": (32, 32)},
+        mesh=mesh,
+    ).build(DiscreteDummyEnv)
+    first = None
+    for _ in range(20):
+        stats = algo.collect(env_config={"bounds": 10.0})
+        if first is None:
+            first = stats["returns/mean"]
+        algo.step()
+    assert stats["returns/mean"] > first
+
+
+def test_sharded_recurrent_trains() -> None:
+    mesh = create_mesh()
+    algo = RecurrentAlgorithmConfig(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        seq_len=2,
+        seqs_per_state_reset=2,
+        model_config={"hidden_size": 8},
+        mesh=mesh,
+    ).build(DiscreteDummyEnv)
+    algo.collect()
+    stats = algo.step()
+    assert "losses/total" in stats
+
+
+def test_shard_state_helper_specs() -> None:
+    mesh = create_mesh()
+    algo = AlgorithmConfig(
+        num_envs=NUM_ENVS, horizon=HORIZON, model_config={"hiddens": (8,)}
+    ).build(DiscreteDummyEnv)
+    state = shard_state(algo.state, mesh, NUM_ENVS)
+    # Time-major buffer leaves shard along axis 1 (the env axis).
+    rewards = state.buffer[DataKeys.REWARDS]
+    spec = rewards.sharding.spec
+    assert spec[1] == ENV_AXIS

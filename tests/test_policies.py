@@ -1,0 +1,134 @@
+"""Policy sample-shape and export round-trip tests, mirroring
+``/root/reference/tests/test_policies.py``."""
+
+import numpy as np
+import jax
+import pytest
+
+from rl8_tpu.data import DataKeys
+from rl8_tpu.policies import Policy, RecurrentPolicy
+from rl8_tpu.policies.serving import PolicyModel, RecurrentPolicyModel
+from rl8_tpu.specs import Discrete, Unbounded
+
+B, T = 4, 3
+OBS_DIM = 2
+
+
+def _policy() -> tuple[Policy, object]:
+    policy = Policy(
+        Unbounded(OBS_DIM),
+        Discrete(2, shape=(1,)),
+        model_config={"hiddens": (8,)},
+    )
+    params = policy.init_params(jax.random.key(0))
+    return policy, params
+
+
+def _recurrent_policy() -> tuple[RecurrentPolicy, object]:
+    policy = RecurrentPolicy(
+        Unbounded(OBS_DIM),
+        Discrete(2, shape=(1,)),
+        model_config={"hidden_size": 8},
+    )
+    params = policy.init_params(jax.random.key(0))
+    return policy, params
+
+
+def test_sample_shapes_last_vs_all() -> None:
+    """kind="last" -> [B, ...]; kind="all" -> [B*T, ...]
+    (``tests/test_policies.py:24-101``)."""
+    policy, params = _policy()
+    batch = {DataKeys.OBS: jax.random.normal(jax.random.key(1), (B, T, OBS_DIM))}
+    out = policy.sample(
+        params, batch, kind="last", key=jax.random.key(2),
+        return_logp=True, return_values=True,
+    )
+    assert out[DataKeys.ACTIONS].shape == (B, 1)
+    assert out[DataKeys.LOGP].shape == (B, 1)
+    assert out[DataKeys.VALUES].shape == (B, 1)
+    out = policy.sample(
+        params, batch, kind="all", key=jax.random.key(2),
+        return_logp=True, return_values=True,
+    )
+    assert out[DataKeys.ACTIONS].shape == (B * T, 1)
+    assert out[DataKeys.LOGP].shape == (B * T, 1)
+    assert out[DataKeys.VALUES].shape == (B * T, 1)
+
+
+def test_sample_requires_key_when_stochastic() -> None:
+    policy, params = _policy()
+    batch = {DataKeys.OBS: jax.random.normal(jax.random.key(1), (B, T, OBS_DIM))}
+    with pytest.raises(ValueError):
+        policy.sample(params, batch, kind="last")
+    # Deterministic needs no key.
+    policy.sample(params, batch, kind="last", deterministic=True)
+
+
+def test_sample_reuses_provided_views() -> None:
+    policy, params = _policy()
+    batch = {DataKeys.OBS: jax.random.normal(jax.random.key(1), (B, T, OBS_DIM))}
+    out = policy.sample(
+        params, batch, kind="all", deterministic=True, return_views=True
+    )
+    rebatch = {DataKeys.VIEWS: out[DataKeys.VIEWS]}
+    out2 = policy.sample(params, rebatch, kind="all", deterministic=True)
+    np.testing.assert_array_equal(
+        np.asarray(out[DataKeys.ACTIONS]), np.asarray(out2[DataKeys.ACTIONS])
+    )
+
+
+def test_policy_export_round_trip(tmp_path) -> None:
+    """Save -> load -> predict matches a direct sample
+    (``tests/test_policies.py:104-160``)."""
+    policy, params = _policy()
+    path = tmp_path / "policy.pkl"
+    policy.save(path, params)
+    model = PolicyModel.load(path)
+    obs = np.asarray(
+        jax.random.normal(jax.random.key(3), (B, T, OBS_DIM)), dtype=np.float32
+    )
+    df = model.predict({DataKeys.OBS: obs})
+    assert len(df) == B * T
+    direct = policy.sample(
+        params,
+        {DataKeys.OBS: obs},
+        kind="all",
+        deterministic=True,
+        return_logp=True,
+        return_values=True,
+    )
+    np.testing.assert_allclose(
+        np.stack(df[DataKeys.VALUES].to_list()),
+        np.asarray(direct[DataKeys.VALUES]),
+        rtol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.stack(df[DataKeys.ACTIONS].to_list()),
+        np.asarray(direct[DataKeys.ACTIONS]),
+    )
+
+
+def test_recurrent_policy_export_round_trip(tmp_path) -> None:
+    policy, params = _recurrent_policy()
+    path = tmp_path / "policy.pkl"
+    policy.save(path, params)
+    model = RecurrentPolicyModel.load(path)
+    obs = np.asarray(
+        jax.random.normal(jax.random.key(3), (B, T, OBS_DIM)), dtype=np.float32
+    )
+    outputs, states = model.predict({DataKeys.OBS: obs})
+    assert len(outputs) == B * T
+    assert len(states) == B
+
+
+def test_recurrent_sample_threads_states() -> None:
+    policy, params = _recurrent_policy()
+    batch = {DataKeys.OBS: jax.random.normal(jax.random.key(1), (B, T, OBS_DIM))}
+    states = policy.init_states(B)
+    out, new_states = policy.sample(
+        params, batch, states, key=jax.random.key(2), return_values=True
+    )
+    assert out[DataKeys.ACTIONS].shape == (B * T, 1)
+    assert out[DataKeys.VALUES].shape == (B * T, 1)
+    leaf = new_states[DataKeys.HIDDEN_STATES]
+    assert leaf.shape[0] == B
