@@ -27,17 +27,13 @@ def main() -> None:
         num_sgd_iters=4,
     ).build(DiscreteDummyEnv)
 
-    # Warmup (compile collect + step).
-    for _ in range(2):
-        algo.collect()
-        algo.step()
+    # Warmup (compile the fused multi-step train program).
+    iters = 20
+    algo.train_steps(iters)
 
-    iters = 10
     start = time.perf_counter()
-    for _ in range(iters):
-        algo.collect()
-        algo.step()
-    # collect()/step() convert stats to host floats, which blocks on the
+    algo.train_steps(iters)
+    # train_steps converts stats to host floats, which blocks on the
     # device work, so the wall clock is an honest end-to-end measure.
     elapsed = time.perf_counter() - start
     transitions_per_s = num_envs * horizon * iters / elapsed

@@ -285,6 +285,11 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             static_argnames=("use_entropy",),
             donate_argnums=(0,),
         )
+        self._train_fn = jax.jit(
+            self._train_impl,
+            static_argnames=("num_steps", "use_entropy"),
+            donate_argnums=(0,),
+        )
 
     # ------------------------------------------------------------------
     # Buffer helpers
@@ -589,7 +594,9 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         apply_flags = ((pos_in_epoch + 1) % accum) == 0
 
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        # Explicit dtype keeps the aval weak_type-stable across calls
+        # (a weak-typed scalar here would silently retrace every step).
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
         sum_keys = ("entropy", "policy", "vf", "total", "kl_div")
         zero_sums = {k: jnp.asarray(0.0) for k in sum_keys}
         carry0 = {
@@ -761,6 +768,102 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         }
         step_stats["profiling/step_ms"] = step_timer()
         return step_stats
+
+    # ------------------------------------------------------------------
+    # fused multi-step training
+    # ------------------------------------------------------------------
+
+    def _train_impl(
+        self,
+        state: AlgorithmState,
+        lrs: jax.Array,
+        entropy_coeffs: jax.Array,
+        env_config: None | dict[str, Any],
+        num_steps: int,
+        use_entropy: bool,
+    ) -> tuple[AlgorithmState, dict[str, jax.Array]]:
+        """``num_steps`` collect+step iterations as ONE compiled program.
+
+        The reference (and the unfused path here) pays a host round trip
+        per collect and per step; on TPU — especially over remote
+        dispatch — that latency dominates at small model sizes. Fusing
+        the whole train loop into a ``lax.scan`` amortizes dispatch to
+        one launch and one stats fetch per ``num_steps`` iterations.
+
+        Per-step learning rates / entropy coefficients are precomputed on
+        the host (the schedules are pure functions of the transition
+        count) and passed as scan inputs, so scheduling semantics match
+        the unfused path exactly.
+        """
+
+        def _body(
+            state: AlgorithmState, xs: tuple[jax.Array, jax.Array]
+        ) -> tuple[AlgorithmState, dict[str, jax.Array]]:
+            lr, entropy_coeff = xs
+            state, collect_stats = self._collect_impl(state, env_config, False)
+            state, step_stats = self._step_impl(
+                state, lr, entropy_coeff, use_entropy
+            )
+            return state, {**collect_stats, **step_stats}
+
+        return jax.lax.scan(_body, state, (lrs, entropy_coeffs), length=num_steps)
+
+    def train_steps(
+        self,
+        num_steps: int,
+        /,
+        *,
+        env_config: None | dict[str, Any] = None,
+    ) -> list[dict[str, float]]:
+        """Run ``num_steps`` fused collect+step iterations on device and
+        return per-iteration train stats.
+
+        Semantically equivalent to ``num_steps`` alternating
+        :meth:`collect`/:meth:`step` calls (same RNG stream, same
+        scheduler cadence), but compiled into a single XLA program —
+        the fast path for production training throughput.
+        """
+        if num_steps <= 0:
+            raise ValueError("`num_steps` must be > 0.")
+        with profile_ms() as timer:
+            lrs, ents = [], []
+            for i in range(num_steps):
+                lrs.append(self.lr_scheduler.coeff)
+                ents.append(
+                    0.0
+                    if self._static_zero_entropy
+                    else self.entropy_scheduler.coeff
+                )
+                # Mirror the per-step scheduler cadence
+                # (``_feedforward.py:599-600``).
+                count = self.hparams.num_envs * (self._horizons_host + i + 1)
+                self.lr_scheduler.step(count)
+                self.entropy_scheduler.step(count)
+            self.state, stats = self._train_fn(
+                self.state,
+                jnp.asarray(lrs, dtype=jnp.float32),
+                jnp.asarray(ents, dtype=jnp.float32),
+                env_config,
+                num_steps=num_steps,
+                use_entropy=not self._static_zero_entropy,
+            )
+            stats = jax.device_get(stats)
+        self._horizons_host += num_steps
+        elapsed_ms = timer()
+        out: list[dict[str, float]] = []
+        for i in range(num_steps):
+            record = {
+                k: float(v[i]) for k, v in stats.items() if k != "env/was_reset"
+            }
+            record["env/resets"] = self.hparams.num_envs * int(
+                stats["env/was_reset"][i]
+            )
+            record["env/steps"] = self.hparams.num_envs * self.hparams.horizon
+            record["coefficients/entropy"] = float(ents[i])
+            record["coefficients/vf"] = self.hparams.vf_coeff
+            record["profiling/train_ms"] = elapsed_ms / num_steps
+            out.append(record)
+        return out
 
     # ------------------------------------------------------------------
     # validation

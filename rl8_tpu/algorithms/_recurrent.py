@@ -222,6 +222,11 @@ class RecurrentAlgorithm(
             static_argnames=("use_entropy",),
             donate_argnums=(0,),
         )
+        self._train_fn = jax.jit(
+            self._train_impl,
+            static_argnames=("num_steps", "use_entropy"),
+            donate_argnums=(0,),
+        )
 
     def _zero_buffer(self) -> dict[str, Any]:
         """Time-major buffer; adds per-step recurrent states
@@ -479,7 +484,9 @@ class RecurrentAlgorithm(
         apply_flags = ((pos_in_epoch + 1) % accum) == 0
 
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        # Explicit dtype keeps the aval weak_type-stable across calls
+        # (a weak-typed scalar here would silently retrace every step).
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
         sum_keys = ("entropy", "policy", "vf", "total", "kl_div")
         zero_sums = {k: jnp.asarray(0.0) for k in sum_keys}
         carry0 = {
@@ -661,6 +668,80 @@ class RecurrentAlgorithm(
         }
         step_stats["profiling/step_ms"] = step_timer()
         return step_stats
+
+    def _train_impl(
+        self,
+        state: RecurrentAlgorithmState,
+        lrs: jax.Array,
+        entropy_coeffs: jax.Array,
+        env_config: None | dict[str, Any],
+        num_steps: int,
+        use_entropy: bool,
+    ) -> tuple[RecurrentAlgorithmState, dict[str, jax.Array]]:
+        """``num_steps`` collect+step iterations as ONE compiled program
+        (see ``Algorithm._train_impl`` for rationale)."""
+
+        def _body(
+            state: RecurrentAlgorithmState, xs: tuple[jax.Array, jax.Array]
+        ) -> tuple[RecurrentAlgorithmState, dict[str, jax.Array]]:
+            lr, entropy_coeff = xs
+            state, collect_stats = self._collect_impl(state, env_config, False)
+            state, step_stats = self._step_impl(
+                state, lr, entropy_coeff, use_entropy
+            )
+            return state, {**collect_stats, **step_stats}
+
+        return jax.lax.scan(_body, state, (lrs, entropy_coeffs), length=num_steps)
+
+    def train_steps(
+        self,
+        num_steps: int,
+        /,
+        *,
+        env_config: None | dict[str, Any] = None,
+    ) -> list[dict[str, float]]:
+        """Run ``num_steps`` fused collect+step iterations on device,
+        returning per-iteration train stats (see
+        ``Algorithm.train_steps``)."""
+        if num_steps <= 0:
+            raise ValueError("`num_steps` must be > 0.")
+        with profile_ms() as timer:
+            lrs, ents = [], []
+            for i in range(num_steps):
+                lrs.append(self.lr_scheduler.coeff)
+                ents.append(
+                    0.0
+                    if self._static_zero_entropy
+                    else self.entropy_scheduler.coeff
+                )
+                count = self.hparams.num_envs * (self._horizons_host + i + 1)
+                self.lr_scheduler.step(count)
+                self.entropy_scheduler.step(count)
+            self.state, stats = self._train_fn(
+                self.state,
+                jnp.asarray(lrs, dtype=jnp.float32),
+                jnp.asarray(ents, dtype=jnp.float32),
+                env_config,
+                num_steps=num_steps,
+                use_entropy=not self._static_zero_entropy,
+            )
+            stats = jax.device_get(stats)
+        self._horizons_host += num_steps
+        elapsed_ms = timer()
+        out: list[dict[str, float]] = []
+        for i in range(num_steps):
+            record = {
+                k: float(v[i]) for k, v in stats.items() if k != "env/was_reset"
+            }
+            record["env/resets"] = self.hparams.num_envs * int(
+                stats["env/was_reset"][i]
+            )
+            record["env/steps"] = self.hparams.num_envs * self.hparams.horizon
+            record["coefficients/entropy"] = float(ents[i])
+            record["coefficients/vf"] = self.hparams.vf_coeff
+            record["profiling/train_ms"] = elapsed_ms / num_steps
+            out.append(record)
+        return out
 
     def validate(self) -> None:
         """Eagerly validate env/policy/buffer shape contracts

@@ -103,6 +103,29 @@ class GenericTrainerBase(Generic[_Algorithm]):
         self.tracking_run.log_metrics(eval_stats, step=self.state["env/steps"])
         return eval_stats  # type: ignore[return-value]
 
+    def step_fused(
+        self, num_steps: int, /, *, env_config: None | dict[str, Any] = None
+    ) -> list[TrainStats]:
+        """Run ``num_steps`` training steps as one fused device program
+        (``Algorithm.train_steps``), logging each step's stats.
+
+        Semantically equivalent to ``num_steps`` :meth:`step` calls but
+        amortizes dispatch/host-sync overhead — the throughput path for
+        production training.
+        """
+        memory_stats = self.algorithm.memory_stats()
+        records = self.algorithm.train_steps(num_steps, env_config=env_config)
+        out: list[TrainStats] = []
+        for record in records:
+            self.state["algorithm/collects"] += 1
+            self.state["algorithm/steps"] += 1
+            self.state["env/steps"] += record["env/steps"]
+            train_stats: dict[str, Any] = {**memory_stats, **record}
+            train_stats.update(self.state)
+            self.tracking_run.log_metrics(train_stats, step=self.state["env/steps"])
+            out.append(train_stats)  # type: ignore[arg-type]
+        return out
+
     def run(
         self,
         *,
@@ -110,6 +133,7 @@ class GenericTrainerBase(Generic[_Algorithm]):
         eval_env_config: None | dict[str, Any] = None,
         steps_per_eval: None | int = None,
         stop_conditions: None | list[Condition] = None,
+        fused_steps: None | int = None,
     ) -> TrainStats:
         """Train until any stop condition is satisfied
         (``trainers/_base.py:104-174``). Runs indefinitely without stop
@@ -154,8 +178,24 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 " `horizons_per_env_reset`. Set `steps_per_eval` to a factor"
                 " of `horizons_per_env_reset` to avoid this error."
             )
+        if fused_steps and steps_per_eval and steps_per_eval % fused_steps:
+            raise ValueError(
+                "`fused_steps` must be a factor of `steps_per_eval` so"
+                " evaluations land between fused batches."
+            )
         eval_env_config = eval_env_config or env_config
         stop_conditions = stop_conditions or []
+        if fused_steps and fused_steps > 1:
+            while True:
+                for train_stats in self.step_fused(
+                    fused_steps, env_config=env_config
+                ):
+                    if any(c(train_stats) for c in stop_conditions):
+                        return train_stats
+                if steps_per_eval and not (
+                    self.state["algorithm/steps"] % steps_per_eval
+                ):
+                    self.eval(env_config=eval_env_config)
         train_stats = self.step(env_config=env_config)
         while not any(condition(train_stats) for condition in stop_conditions):
             if steps_per_eval and not (

@@ -215,3 +215,53 @@ def test_learning_on_continuous_dummy_env() -> None:
             first = stats["returns/mean"]
         algo.step()
     assert stats["returns/mean"] > first
+
+
+def test_fused_train_steps_matches_unfused() -> None:
+    """train_steps(N) is bit-compatible with N alternating collect/step
+    calls (same RNG stream, same scheduler cadence)."""
+    kwargs = dict(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        seed=11,
+        entropy_coeff=0.01,
+        lr_schedule=[(0, 1e-3), (NUM_ENVS * 2, 1e-4)],
+        model_config={"hiddens": (8,)},
+    )
+    unfused = AlgorithmConfig(**kwargs).build(DiscreteDummyEnv)
+    expected = []
+    for _ in range(3):
+        collect_stats = unfused.collect()
+        expected.append({**collect_stats, **unfused.step()})
+
+    fused = AlgorithmConfig(**kwargs).build(DiscreteDummyEnv)
+    records = fused.train_steps(3)
+    assert len(records) == 3
+    for exp, got in zip(expected, records):
+        for key in (
+            "losses/total",
+            "losses/policy",
+            "losses/vf",
+            "monitors/kl_div",
+            "returns/mean",
+            "coefficients/entropy",
+        ):
+            assert abs(exp[key] - got[key]) < 1e-5, (key, exp[key], got[key])
+    params_a = jax.device_get(unfused.state.params)
+    params_b = jax.device_get(fused.state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: (abs(a - b).max() < 1e-6) or (_ for _ in ()).throw(AssertionError),
+        params_a,
+        params_b,
+    )
+
+
+def test_fused_train_steps_counts_resets() -> None:
+    algo = AlgorithmConfig(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        horizons_per_env_reset=2,
+        model_config={"hiddens": (8,)},
+    ).build(DiscreteDummyEnv)
+    records = algo.train_steps(4)
+    assert [r["env/resets"] for r in records] == [NUM_ENVS, 0, NUM_ENVS, 0]

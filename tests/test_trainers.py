@@ -91,3 +91,20 @@ def test_trainer_run_value_error(make_trainer) -> None:
     trainer = make_trainer()
     with pytest.raises(ValueError):
         trainer.run(steps_per_eval=1)
+
+
+@pytest.mark.parametrize("make_trainer", [_ff_trainer, _rec_trainer])
+def test_trainer_run_fused(make_trainer) -> None:
+    trainer = make_trainer()
+    stats = trainer.run(
+        fused_steps=2,
+        stop_conditions=[HitsUpperBound("algorithm/steps", 4)],
+    )
+    assert trainer.state["algorithm/steps"] == 4
+    assert stats["algorithm/steps"] == 4
+
+
+def test_trainer_fused_eval_cadence() -> None:
+    trainer = _ff_trainer()
+    with pytest.raises(ValueError):
+        trainer.run(fused_steps=3, steps_per_eval=4)
