@@ -113,6 +113,11 @@ class AlgorithmConfig:
     normalize_advantages: bool = True
     #: Normalize rewards by the std of reversed discounted returns.
     normalize_rewards: bool = True
+    #: Run the optimizer over a single flattened parameter vector (one
+    #: fused update instead of ~100 tiny per-leaf kernels). Bit-identical
+    #: for elementwise optimizers (adam/sgd/...); disable for optimizers
+    #: whose math depends on parameter structure.
+    flatten_optimizer: bool = True
     #: PRNG seed for params, sampling, env resets, and shuffling.
     seed: int = 0
     #: Optional device mesh with an ``"env"`` axis for sharding the env
@@ -228,16 +233,6 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
 
         optimizer_config = dict(config.optimizer_config or {"lr": 1e-3})
         lr0 = optimizer_config.pop("lr", optimizer_config.pop("learning_rate", 1e-3))
-        max_grad_norm = config.max_grad_norm
-        optimizer_cls = config.optimizer_cls
-
-        def _make_optimizer(learning_rate: Any) -> optax.GradientTransformation:
-            return optax.chain(
-                optax.clip_by_global_norm(max_grad_norm),
-                optimizer_cls(learning_rate, **optimizer_config),
-            )
-
-        self.optimizer = optax.inject_hyperparams(_make_optimizer)(learning_rate=lr0)
         self.lr_scheduler = LRScheduler(
             lr0, schedule=config.lr_schedule, kind=config.lr_schedule_kind
         )
@@ -255,6 +250,23 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         rng = jax.random.key(config.seed)
         rng, params_key, reset_key = jax.random.split(rng, 3)
         params = self.policy.init_params(params_key)
+
+        max_grad_norm = config.max_grad_norm
+        optimizer_cls = config.optimizer_cls
+        flatten = config.flatten_optimizer
+
+        def _make_optimizer(learning_rate: Any) -> optax.GradientTransformation:
+            opt = optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optimizer_cls(learning_rate, **optimizer_config),
+            )
+            if flatten:
+                from ..utils.optim import flatten_optimizer
+
+                opt = flatten_optimizer(opt, params)
+            return opt
+
+        self.optimizer = optax.inject_hyperparams(_make_optimizer)(learning_rate=lr0)
         opt_state = self.optimizer.init(params)
         # Throwaway reset materializes the env-state pytree structure; the
         # first `collect` re-resets per the reset cadence.
@@ -277,6 +289,11 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             self.state = shard_state(self.state, self.mesh, num_envs)
         #: Host mirror of ``state.horizons`` for scheduler stepping.
         self._horizons_host = 0
+        # The fused Pallas GAE kernel beats the XLA scan on TPU; sharded
+        # runs keep the scan (pallas_call doesn't auto-partition).
+        self._use_pallas_gae = (
+            config.mesh is None and jax.local_devices()[0].platform == "tpu"
+        )
         self._collect_fn = jax.jit(
             self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
         )
@@ -557,15 +574,30 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         # distributions like SquashedNormal whose entropy is undefined).
         entropy_coeff = entropy_coeff if use_entropy else 0.0
 
-        advantages, returns = generalized_advantage_estimate(
-            buffer[DataKeys.REWARDS],
-            buffer[DataKeys.VALUES],
-            gae_lambda=h.gae_lambda,
-            gamma=h.gamma,
-            normalize_advantages=h.normalize_advantages,
-            return_returns=True,
-            reward_scale=state.reward_scale,
-        )
+        if self._use_pallas_gae:
+            from ..ops import pallas_gae
+
+            advantages, returns = pallas_gae(
+                buffer[DataKeys.REWARDS],
+                buffer[DataKeys.VALUES],
+                state.reward_scale,
+                gamma=h.gamma,
+                gae_lambda=h.gae_lambda,
+            )
+            if h.normalize_advantages:
+                advantages = (advantages - jnp.mean(advantages)) / (
+                    jnp.std(advantages) + 1e-8
+                )
+        else:
+            advantages, returns = generalized_advantage_estimate(
+                buffer[DataKeys.REWARDS],
+                buffer[DataKeys.VALUES],
+                gae_lambda=h.gae_lambda,
+                gamma=h.gamma,
+                normalize_advantages=h.normalize_advantages,
+                return_returns=True,
+                reward_scale=state.reward_scale,
+            )
 
         # Batchify: [T, B, ...] -> [B * T, ...]; views from [B, T, ...] obs
         # (``_feedforward.py:469-482``).

@@ -81,6 +81,9 @@ class RecurrentAlgorithmConfig:
     max_grad_norm: float = 5.0
     normalize_advantages: bool = True
     normalize_rewards: bool = True
+    #: Run the optimizer over a single flattened parameter vector; see
+    #: :class:`rl8_tpu.algorithms.AlgorithmConfig`.
+    flatten_optimizer: bool = True
     seed: int = 0
     mesh: Any = None
 
@@ -169,16 +172,6 @@ class RecurrentAlgorithm(
 
         optimizer_config = dict(config.optimizer_config or {"lr": 1e-3})
         lr0 = optimizer_config.pop("lr", optimizer_config.pop("learning_rate", 1e-3))
-        max_grad_norm = config.max_grad_norm
-        optimizer_cls = config.optimizer_cls
-
-        def _make_optimizer(learning_rate: Any) -> optax.GradientTransformation:
-            return optax.chain(
-                optax.clip_by_global_norm(max_grad_norm),
-                optimizer_cls(learning_rate, **optimizer_config),
-            )
-
-        self.optimizer = optax.inject_hyperparams(_make_optimizer)(learning_rate=lr0)
         self.lr_scheduler = LRScheduler(
             lr0, schedule=config.lr_schedule, kind=config.lr_schedule_kind
         )
@@ -194,6 +187,23 @@ class RecurrentAlgorithm(
         rng = jax.random.key(config.seed)
         rng, params_key, reset_key = jax.random.split(rng, 3)
         params = self.policy.init_params(params_key)
+
+        max_grad_norm = config.max_grad_norm
+        optimizer_cls = config.optimizer_cls
+        flatten = config.flatten_optimizer
+
+        def _make_optimizer(learning_rate: Any) -> optax.GradientTransformation:
+            opt = optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optimizer_cls(learning_rate, **optimizer_config),
+            )
+            if flatten:
+                from ..utils.optim import flatten_optimizer
+
+                opt = flatten_optimizer(opt, params)
+            return opt
+
+        self.optimizer = optax.inject_hyperparams(_make_optimizer)(learning_rate=lr0)
         opt_state = self.optimizer.init(params)
         env_state, _ = self.env.reset(reset_key)
         buffer = self._zero_buffer()
@@ -214,6 +224,11 @@ class RecurrentAlgorithm(
 
             self.state = shard_state(self.state, self.mesh, num_envs)
         self._horizons_host = 0
+        # The fused Pallas GAE kernel beats the XLA scan on TPU; sharded
+        # runs keep the scan (pallas_call doesn't auto-partition).
+        self._use_pallas_gae = (
+            config.mesh is None and jax.local_devices()[0].platform == "tpu"
+        )
         self._collect_fn = jax.jit(
             self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
         )
@@ -444,15 +459,30 @@ class RecurrentAlgorithm(
         buffer = state.buffer
         entropy_coeff = entropy_coeff if use_entropy else 0.0
 
-        advantages, returns = generalized_advantage_estimate(
-            buffer[DataKeys.REWARDS],
-            buffer[DataKeys.VALUES],
-            gae_lambda=h.gae_lambda,
-            gamma=h.gamma,
-            normalize_advantages=h.normalize_advantages,
-            return_returns=True,
-            reward_scale=state.reward_scale,
-        )
+        if self._use_pallas_gae:
+            from ..ops import pallas_gae
+
+            advantages, returns = pallas_gae(
+                buffer[DataKeys.REWARDS],
+                buffer[DataKeys.VALUES],
+                state.reward_scale,
+                gamma=h.gamma,
+                gae_lambda=h.gae_lambda,
+            )
+            if h.normalize_advantages:
+                advantages = (advantages - jnp.mean(advantages)) / (
+                    jnp.std(advantages) + 1e-8
+                )
+        else:
+            advantages, returns = generalized_advantage_estimate(
+                buffer[DataKeys.REWARDS],
+                buffer[DataKeys.VALUES],
+                gae_lambda=h.gae_lambda,
+                gamma=h.gamma,
+                normalize_advantages=h.normalize_advantages,
+                return_returns=True,
+                reward_scale=state.reward_scale,
+            )
 
         # Sequence minibatching (``_recurrent.py:518``): each batch element
         # is a [seq_len] chunk; its stored initial states seed the forward.

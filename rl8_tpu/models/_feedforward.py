@@ -165,25 +165,27 @@ class DefaultContinuousModel(GenericModel):
         action_dim = self.action_spec.shape[0]
         latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, bias=self.bias,
-                name="latent_model")(obs)
+                dtype=self.dtype, name="latent_model")(obs)
         )
         mean = nn.Dense(
             action_dim,
             kernel_init=small_uniform_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="action_mean",
         )(latents)
         log_std = nn.Dense(
             action_dim,
             kernel_init=small_uniform_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="action_log_std",
         )(latents)
         vf_latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, bias=self.bias,
-                name="vf_model")(obs)
+                dtype=self.dtype, name="vf_model")(obs)
         )
-        values = nn.Dense(1, name="vf_head")(vf_latents)
+        values = nn.Dense(1, dtype=self.dtype, name="vf_head")(vf_latents)
         features = {
             "mean": mean.astype(jnp.float32),
             "log_std": jnp.tanh(log_std).astype(jnp.float32),
@@ -212,17 +214,18 @@ class DefaultDiscreteModel(GenericModel):
         n = self.action_spec.n
         latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, bias=self.bias,
-                name="feature_model")(obs)
+                dtype=self.dtype, name="feature_model")(obs)
         )
         logits = nn.Dense(
             action_dim * n,
             kernel_init=small_uniform_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="feature_head",
         )(latents).reshape(-1, action_dim, n)
         vf_latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, bias=self.bias,
-                name="vf_model")(obs)
+                dtype=self.dtype, name="vf_model")(obs)
         )
-        values = nn.Dense(1, name="vf_head")(vf_latents)
+        values = nn.Dense(1, dtype=self.dtype, name="vf_head")(vf_latents)
         return {"logits": logits.astype(jnp.float32)}, values.astype(jnp.float32)

@@ -37,15 +37,18 @@ class MLP(nn.Module):
     layer_norm: bool = False
     bias: bool = True
     dropout: float = 0.0
+    #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU mixed
+    #: precision.
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         act = get_activation(self.activation_fn)
         for hidden in self.hiddens[:-1]:
-            x = nn.Dense(hidden, use_bias=self.bias)(x)
+            x = nn.Dense(hidden, use_bias=self.bias, dtype=self.dtype)(x)
             if self.layer_norm:
-                x = nn.LayerNorm()(x)
+                x = nn.LayerNorm(dtype=self.dtype)(x)
             x = act(x)
             if self.dropout:
                 x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
-        return nn.Dense(self.hiddens[-1], use_bias=self.bias)(x)
+        return nn.Dense(self.hiddens[-1], use_bias=self.bias, dtype=self.dtype)(x)

@@ -100,3 +100,14 @@ def test_algotrading_recurrent_model_trains() -> None:
     algo.collect()
     stats = algo.step()
     assert "losses/total" in stats
+
+
+def test_cartpole_solves() -> None:
+    """Learning-curve parity target (BASELINE.md): CartPole's shaped
+    returns climb from ~-200 toward ~-10 within ~25 steps."""
+    from rl8_tpu import AlgorithmConfig
+
+    algo = AlgorithmConfig(num_envs=256, horizon=64, seed=0).build(CartPole)
+    records = algo.train_steps(25)
+    assert records[0]["returns/mean"] < -100.0
+    assert records[-1]["returns/mean"] > -40.0
