@@ -22,7 +22,37 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["create_mesh", "shard_state", "shard_batch", "ENV_AXIS"]
+__all__ = [
+    "create_mesh",
+    "initialize_multihost",
+    "shard_state",
+    "shard_batch",
+    "ENV_AXIS",
+]
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize JAX's multi-host runtime for pod-slice training.
+
+    Call once per host before constructing algorithms. On TPU pods the
+    arguments are inferred from the environment; pass them explicitly
+    elsewhere. After initialization, ``create_mesh()`` spans all hosts'
+    devices, env instances and the rollout buffer shard across hosts,
+    and gradient all-reduce rides ICI within a slice (DCN across
+    slices) — this is the multi-host scale-out path promised in
+    SURVEY.md section 2.3.
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 #: Name of the mesh axis the environment batch shards over.
 ENV_AXIS = "env"
