@@ -18,14 +18,15 @@ def main() -> None:
     from rl8_tpu import AlgorithmConfig
     from rl8_tpu.env import DiscreteDummyEnv
 
+    # Default config (horizon=32, num_envs=8192, whole-buffer minibatch,
+    # 4 SGD epochs) — mirrors the reference's defaults
+    # (``/root/reference/src/rl8/algorithms/_feedforward.py:29-179``)
+    # under which its ~1M transitions/s headline claim is made.
     num_envs = 8192
     horizon = 32
-    algo = AlgorithmConfig(
-        num_envs=num_envs,
-        horizon=horizon,
-        sgd_minibatch_size=num_envs * horizon // 4,
-        num_sgd_iters=4,
-    ).build(DiscreteDummyEnv)
+    algo = AlgorithmConfig(num_envs=num_envs, horizon=horizon).build(
+        DiscreteDummyEnv
+    )
 
     # Warmup (compile the fused multi-step train program).
     iters = 20

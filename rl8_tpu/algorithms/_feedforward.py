@@ -118,6 +118,14 @@ class AlgorithmConfig:
     #: for elementwise optimizers (adam/sgd/...); disable for optimizers
     #: whose math depends on parameter structure.
     flatten_optimizer: bool = True
+    #: Evaluate default models with fused Pallas forward/backward kernels
+    #: on TPU (recompute-based backward). Equals the flax forward up to
+    #: matmul precision (bf16 multiplies — XLA's own TPU default).
+    #: Off by default: XLA's fusion of the plain flax module currently
+    #: matches these kernels, so they are opt-in until the fully-fused
+    #: update path lands. Auto-disabled for custom models, unsupported
+    #: activations, or sharded meshes.
+    fused_forward: bool = False
     #: PRNG seed for params, sampling, env resets, and shuffling.
     seed: int = 0
     #: Optional device mesh with an ``"env"`` axis for sharding the env
@@ -291,8 +299,16 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         self._horizons_host = 0
         # The fused Pallas GAE kernel beats the XLA scan on TPU; sharded
         # runs keep the scan (pallas_call doesn't auto-partition).
-        self._use_pallas_gae = (
-            config.mesh is None and jax.local_devices()[0].platform == "tpu"
+        on_tpu = jax.local_devices()[0].platform == "tpu"
+        self._use_pallas_gae = config.mesh is None and on_tpu
+        from ..ops.fused_mlp import supports_fused_apply
+
+        #: Fused Pallas model forward/backward (see ``ops/fused_mlp.py``).
+        self._fused_forward = (
+            config.fused_forward
+            and config.mesh is None
+            and on_tpu
+            and supports_fused_apply(self.policy.model)
         )
         self._collect_fn = jax.jit(
             self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
@@ -307,6 +323,21 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             static_argnames=("num_steps", "use_entropy"),
             donate_argnums=(0,),
         )
+
+    # ------------------------------------------------------------------
+    # Model application
+    # ------------------------------------------------------------------
+
+    def _apply_model(
+        self, params: Any, batch: Any
+    ) -> tuple[dict[str, jax.Array], jax.Array]:
+        """Model forward: fused Pallas kernels on TPU for default models,
+        the flax module otherwise."""
+        if self._fused_forward:
+            from ..ops.fused_mlp import fused_default_apply
+
+            return fused_default_apply(self.policy.model, params, batch)
+        return self.policy.model.apply({"params": params}, batch)
 
     # ------------------------------------------------------------------
     # Buffer helpers
@@ -433,7 +464,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         def _scan_step(carry: Any, key: jax.Array) -> tuple[Any, Any]:
             env_state, window, valid, rev = carry
             in_batch = self._build_last_views(window, valid)
-            features, values = model.apply({"params": state.params}, in_batch)
+            features, values = self._apply_model(state.params, in_batch)
             dist = dist_cls(features, model)
             if deterministic:
                 actions = dist.deterministic_sample()
@@ -463,7 +494,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
 
         # --- bootstrap value at the final observation (``:395-408``).
         in_batch = self._build_last_views(window, valid)
-        _, v_last = model.apply({"params": state.params}, in_batch)
+        _, v_last = self._apply_model(state.params, in_batch)
 
         obs_full = jax.tree_util.tree_map(
             lambda first, rest: jnp.concatenate([first[None], rest], axis=0),
@@ -614,16 +645,18 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         }
         final_obs = jax.tree_util.tree_map(lambda x: x[-1], buffer[DataKeys.OBS])
 
+        # Pack the training batch into ONE 4-byte-element [N, D] matrix so
+        # an epoch's shuffle is a single gather and minibatch selection is
+        # a free contiguous slice (TPU gathers pay per-leaf per-row costs;
+        # see rl8_tpu/ops/packing.py). Bit-exact round trip.
+        from ..ops import pack_rows
+
+        packed, unpack = pack_rows(flat)
+        D = packed.shape[1]
         rng, perm_key = jax.random.split(state.rng)
-        if h.shuffle_minibatches:
-            perm_keys = jax.random.split(perm_key, E)
-            perms = jnp.stack([jax.random.permutation(k, N) for k in perm_keys])
-        else:
-            perms = jnp.tile(jnp.arange(N), (E, 1))
-        idx = perms.reshape(E * M, h.sgd_minibatch_size)
-        # Optimizer-apply flags per scan position (static pattern).
-        pos_in_epoch = jnp.arange(E * M) % M
-        apply_flags = ((pos_in_epoch + 1) % accum) == 0
+        epoch_keys = jax.random.split(perm_key, E)
+        # Optimizer-apply flags per epoch position (static pattern).
+        apply_flags = ((jnp.arange(M) + 1) % accum) == 0
 
         opt_state = state.opt_state
         # Explicit dtype keeps the aval weak_type-stable across calls
@@ -642,7 +675,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         }
 
         def _loss_fn(params: Any, mb: dict[str, Any]) -> tuple[jax.Array, Any]:
-            features, values = model.apply({"params": params}, mb[DataKeys.VIEWS])
+            features, values = self._apply_model(params, mb[DataKeys.VIEWS])
             dist = dist_cls(features, model)
             losses = ppo_losses(
                 mb,
@@ -662,10 +695,10 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
 
         def _minibatch(carry: dict[str, Any], xs: Any) -> tuple[dict[str, Any], None]:
-            idx_row, apply_flag = xs
+            mb_packed, apply_flag = xs
 
             def _process(carry: dict[str, Any]) -> dict[str, Any]:
-                mb = jax.tree_util.tree_map(lambda x: x[idx_row], flat)
+                mb = unpack(mb_packed)
                 (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
                 trigger = (
                     kl > 1.5 * h.target_kl_div
@@ -739,7 +772,23 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             carry = jax.lax.cond(carry["stopped"], lambda c: c, _process, carry)
             return carry, None
 
-        carry, _ = jax.lax.scan(_minibatch, carry0, (idx, apply_flags))
+        def _epoch(carry: dict[str, Any], epoch_key: jax.Array) -> tuple[dict[str, Any], None]:
+            def _run(carry: dict[str, Any]) -> dict[str, Any]:
+                # With one minibatch per epoch the loss is permutation-
+                # invariant, so the shuffle gather is skipped.
+                if h.shuffle_minibatches and M > 1:
+                    perm = jax.random.permutation(epoch_key, N)
+                    shuffled = jnp.take(packed, perm, axis=0)
+                else:
+                    shuffled = packed
+                mbs = shuffled.reshape(M, h.sgd_minibatch_size, D)
+                carry, _ = jax.lax.scan(_minibatch, carry, (mbs, apply_flags))
+                return carry
+
+            carry = jax.lax.cond(carry["stopped"], lambda c: c, _run, carry)
+            return carry, None
+
+        carry, _ = jax.lax.scan(_epoch, carry0, epoch_keys)
 
         n = jnp.maximum(carry["n_windows"], 1.0)
         stats = {

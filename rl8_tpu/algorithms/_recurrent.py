@@ -503,15 +503,16 @@ class RecurrentAlgorithm(
             lambda s: s[-1], buffer[DataKeys.STATES]
         )
 
+        # Pack sequence rows into one [N, D] matrix: an epoch's shuffle is
+        # a single gather, minibatch selection a free slice (see
+        # rl8_tpu/ops/packing.py). Bit-exact round trip.
+        from ..ops import pack_rows
+
+        packed, unpack = pack_rows(flat)
+        D = packed.shape[1]
         rng, perm_key = jax.random.split(state.rng)
-        if h.shuffle_minibatches:
-            perm_keys = jax.random.split(perm_key, E)
-            perms = jnp.stack([jax.random.permutation(k, N) for k in perm_keys])
-        else:
-            perms = jnp.tile(jnp.arange(N), (E, 1))
-        idx = perms.reshape(E * M, h.sgd_minibatch_size)
-        pos_in_epoch = jnp.arange(E * M) % M
-        apply_flags = ((pos_in_epoch + 1) % accum) == 0
+        epoch_keys = jax.random.split(perm_key, E)
+        apply_flags = ((jnp.arange(M) + 1) % accum) == 0
 
         opt_state = state.opt_state
         # Explicit dtype keeps the aval weak_type-stable across calls
@@ -565,10 +566,10 @@ class RecurrentAlgorithm(
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
 
         def _minibatch(carry: dict[str, Any], xs: Any) -> tuple[dict[str, Any], None]:
-            idx_row, apply_flag = xs
+            mb_packed, apply_flag = xs
 
             def _process(carry: dict[str, Any]) -> dict[str, Any]:
-                mb = jax.tree_util.tree_map(lambda x: x[idx_row], flat)
+                mb = unpack(mb_packed)
                 (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
                 trigger = (
                     kl > 1.5 * h.target_kl_div
@@ -640,7 +641,25 @@ class RecurrentAlgorithm(
             carry = jax.lax.cond(carry["stopped"], lambda c: c, _process, carry)
             return carry, None
 
-        carry, _ = jax.lax.scan(_minibatch, carry0, (idx, apply_flags))
+        def _epoch(
+            carry: dict[str, Any], epoch_key: jax.Array
+        ) -> tuple[dict[str, Any], None]:
+            def _run(carry: dict[str, Any]) -> dict[str, Any]:
+                # With one minibatch per epoch the loss is permutation-
+                # invariant, so the shuffle gather is skipped.
+                if h.shuffle_minibatches and M > 1:
+                    perm = jax.random.permutation(epoch_key, N)
+                    shuffled = jnp.take(packed, perm, axis=0)
+                else:
+                    shuffled = packed
+                mbs = shuffled.reshape(M, h.sgd_minibatch_size, D)
+                carry, _ = jax.lax.scan(_minibatch, carry, (mbs, apply_flags))
+                return carry
+
+            carry = jax.lax.cond(carry["stopped"], lambda c: c, _run, carry)
+            return carry, None
+
+        carry, _ = jax.lax.scan(_epoch, carry0, epoch_keys)
 
         n = jnp.maximum(carry["n_windows"], 1.0)
         stats = {

@@ -7,5 +7,6 @@ reverse-time GAE scan.
 """
 
 from .gae import pallas_gae
+from .packing import RowUnpacker, pack_rows
 
-__all__ = ["pallas_gae"]
+__all__ = ["RowUnpacker", "pack_rows", "pallas_gae"]

@@ -1,0 +1,422 @@
+"""Fused MLP forward/backward Pallas kernels for the default models.
+
+The PPO update's cost on small MLP policies is dominated by HBM traffic
+on ``[N, hidden]`` activations: XLA materializes dozens of 67MB+
+intermediate tensors per epoch (relu masks, products, layer outputs) for
+the forward and backward passes of the default twin-torso models
+(counterparts of ``/root/reference/src/rl8/models/_feedforward.py:
+234-383``). These kernels eliminate that traffic: the forward writes
+only head outputs, and the backward *recomputes* activations tile-by-tile
+in VMEM (inputs are tiny — observation vectors), so HBM traffic is
+reduced to reading the inputs and weights and writing the outputs and
+weight gradients. Matmuls run on the MXU in bf16 with f32 accumulation,
+matching XLA's default-precision dot lowering.
+
+The public entry points are :func:`fused_chains` — a custom-VJP op that
+evaluates several head-capped activation-MLP chains sharing one input in
+a single kernel launch — and :func:`fused_default_apply`, which maps the
+default flax models' parameter trees onto it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..data import DataKeys
+
+__all__ = ["fused_chains", "fused_default_apply", "supports_fused_apply"]
+
+# Activations with derivatives expressible from the *post*-activation
+# value (what the backward pass recomputes).
+_ACT_FNS = {
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "tanh": jnp.tanh,
+}
+_ACT_GRAD_FROM_OUT = {
+    "relu": lambda h: (h > 0.0).astype(h.dtype),
+    "tanh": lambda h: 1.0 - h * h,
+}
+
+_LANES = 128
+
+
+def _row_tile(n: int) -> int:
+    """Row-tile size: big enough to amortize launches, small enough to
+    keep activations VMEM-resident."""
+    if n <= 1024:
+        return -(-n // 8) * 8  # round up to the f32 sublane count
+    return 1024
+
+
+def _bf(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.bfloat16)
+
+
+# NOTES on the dot helpers:
+# - matmuls use ``pl.dot`` with bf16 operands (the MXU's native input
+#   precision, matching XLA's default-precision lowering) and an explicit
+#   f32 convert on the result: this jax version's Mosaic rejects
+#   bf16-output ``dot_general``s, mislowers bf16-in/f32-out ones
+#   ('vector.broadcast' dtype mismatch), and spills >100MB of registers
+#   on multi-matmul f32 kernels — ``pl.dot`` avoids all three;
+# - Mosaic rejects matmuls whose contracted or output dims are below the
+#   sublane count (e.g. the [N, 1] observation column of the dummy envs),
+#   so tiny dims fall back to VPU FMA loops — exact f32, and cheap since
+#   one side is always small.
+_SUBLANES = 8
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[M, K] @ [K, N]."""
+    k = a.shape[1]
+    if k < _SUBLANES:  # sum of outer products on the VPU
+        out = a[:, 0:1] * b[0:1, :]
+        for i in range(1, k):
+            out = out + a[:, i : i + 1] * b[i : i + 1, :]
+        return out
+    return pl.dot(_bf(a), _bf(b)).astype(jnp.float32)
+
+
+def _dot_t(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a.T @ b contracting over rows: [K, N] from a [M, K], b [M, N]."""
+    k = a.shape[1]
+    if k < _SUBLANES:  # K row-reductions on the VPU
+        rows = [
+            jnp.sum(a[:, i : i + 1] * b, axis=0, keepdims=True) for i in range(k)
+        ]
+        return rows[0] if k == 1 else jnp.concatenate(rows, axis=0)
+    return pl.dot(_bf(a), _bf(b), trans_a=True).astype(jnp.float32)
+
+
+def _dot_bt(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a @ b.T contracting over last dims: [M, J] from a [M, K], b [J, K].
+
+    Requires J small OR both dims MXU-sized; the small-K/large-J case
+    must go through :func:`_dot` with a pre-transposed ``b`` instead (a
+    per-output-column loop here would unroll J>=128 vector ops and blow
+    the register allocator).
+    """
+    k = a.shape[1]
+    j = b.shape[0]
+    if j < _SUBLANES:  # J lane-reductions on the VPU
+        cols = [
+            jnp.sum(a * b[i : i + 1, :], axis=1, keepdims=True) for i in range(j)
+        ]
+        return cols[0] if j == 1 else jnp.concatenate(cols, axis=1)
+    assert k >= _SUBLANES, (
+        "small-K/large-J product requires a pre-transposed operand"
+    )
+    return pl.dot(_bf(a), _bf(b), trans_b=True).astype(jnp.float32)
+
+
+def _chain_sizes(chains: Any) -> tuple[tuple[int, int], ...]:
+    return tuple((len(layers), len(heads)) for layers, heads in chains)
+
+
+def _flatten_params(chains: Any) -> list[jax.Array]:
+    flat: list[jax.Array] = []
+    for layers, heads in chains:
+        for w, b in list(layers) + list(heads):
+            flat.append(w)
+            flat.append(b.reshape(1, -1))
+    return flat
+
+
+def _forward_block(
+    x: jax.Array, refs: Sequence[Any], sizes: tuple[tuple[int, int], ...],
+    activation: str,
+) -> tuple[list[list[jax.Array]], list[list[jax.Array]]]:
+    """Shared fwd recompute: returns per-chain activation stacks
+    (``[x, h_1, ..., h_L]``) and head outputs."""
+    act = _ACT_FNS[activation]
+    r = 0
+    all_hs: list[list[jax.Array]] = []
+    all_outs: list[list[jax.Array]] = []
+    for n_layers, n_heads in sizes:
+        hs = [x]
+        h = x
+        for _ in range(n_layers):
+            w, b = refs[r][:], refs[r + 1][:]
+            r += 2
+            h = act(_dot(h, w) + b)
+            hs.append(h)
+        outs = []
+        for _ in range(n_heads):
+            w, b = refs[r][:], refs[r + 1][:]
+            r += 2
+            outs.append(_dot(h, w) + b)
+        all_hs.append(hs)
+        all_outs.append(outs)
+    return all_hs, all_outs
+
+
+def _fwd_kernel(sizes, activation, n_params, x_ref, *refs):
+    params = refs[:n_params]
+    outs_refs = refs[n_params:]
+    _, all_outs = _forward_block(x_ref[:], params, sizes, activation)
+    o = 0
+    for outs in all_outs:
+        for out in outs:
+            outs_refs[o][:] = out
+            o += 1
+
+
+def _bwd_kernel(sizes, activation, n_params, n_rows, x_ref, *refs):
+    n_douts = sum(nh for _, nh in sizes)
+    params = refs[:n_params]
+    dout_refs = refs[n_params : n_params + n_douts]
+    # Pre-transposed head weights [d_out, H] (transposing tiny matrices
+    # is free in XLA outside the kernel; in-kernel it is not expressible
+    # efficiently for the small-contraction case).
+    head_wt_refs = refs[n_params + n_douts : n_params + 2 * n_douts]
+    dx_ref = refs[n_params + 2 * n_douts]
+    dparam_refs = refs[n_params + 2 * n_douts + 1 :]
+    act_grad = _ACT_GRAD_FROM_OUT[activation]
+
+    tile = x_ref.shape[0]
+    i = pl.program_id(0)
+    first = i == 0
+    # Mask rows past the logical row count (the final tile may be padded
+    # with garbage rows — possibly NaN/inf, so select rather than
+    # multiply; zeroing x and the dout keeps every gradient contribution
+    # from those rows exactly zero).
+    if n_rows % tile:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        valid = (i * tile + rows) < n_rows
+    else:
+        valid = None
+
+    x = x_ref[:]
+    if valid is not None:
+        x = jnp.where(valid, x, 0.0)
+    all_hs, _ = _forward_block(x, params, sizes, activation)
+
+    def _acc(ref: Any, value: jax.Array) -> None:
+        @pl.when(first)
+        def _() -> None:
+            ref[:] = value
+
+        @pl.when(jnp.logical_not(first))
+        def _() -> None:
+            ref[:] = ref[:] + value
+
+    r = 0  # param ref cursor (dparam refs share the layout)
+    o = 0  # dout cursor
+    dx_total = jnp.zeros_like(x)
+    for c, (n_layers, n_heads) in enumerate(sizes):
+        hs = all_hs[c]
+        layer_base = r
+        r += 2 * n_layers
+        dh = None
+        for _ in range(n_heads):
+            dout = dout_refs[o][:]
+            if valid is not None:
+                dout = jnp.where(valid, dout, 0.0)
+            _acc(dparam_refs[r], _dot_t(hs[-1], dout))
+            _acc(dparam_refs[r + 1], jnp.sum(dout, axis=0, keepdims=True))
+            contrib = _dot(dout, head_wt_refs[o][:])
+            dh = contrib if dh is None else dh + contrib
+            r += 2
+            o += 1
+        for layer in range(n_layers - 1, -1, -1):
+            dpre = dh * act_grad(hs[layer + 1])
+            base = layer_base + 2 * layer
+            _acc(dparam_refs[base], _dot_t(hs[layer], dpre))
+            _acc(dparam_refs[base + 1], jnp.sum(dpre, axis=0, keepdims=True))
+            dh = _dot_bt(dpre, params[base][:])
+        dx_total = dx_total + dh
+    dx_ref[:] = dx_total
+
+
+def _call_fwd(
+    activation: str, interpret: bool, x: jax.Array, chains: Any
+) -> tuple[tuple[jax.Array, ...], ...]:
+    sizes = _chain_sizes(chains)
+    flat = _flatten_params(chains)
+    n = x.shape[0]
+    tile = _row_tile(n)
+    grid = (pl.cdiv(n, tile),)
+    out_shapes = []
+    for layers, heads in chains:
+        for w, _ in heads:
+            out_shapes.append(jax.ShapeDtypeStruct((n, w.shape[1]), jnp.float32))
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for p in flat
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, sizes, activation, len(flat)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, s.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for s in out_shapes
+        ],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, *flat)
+    # Regroup flat outputs per chain.
+    grouped: list[tuple[jax.Array, ...]] = []
+    o = 0
+    for _, n_heads in sizes:
+        grouped.append(tuple(outs[o : o + n_heads]))
+        o += n_heads
+    return tuple(grouped)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_chains(
+    activation: str, interpret: bool, x: jax.Array, chains: Any
+) -> tuple[tuple[jax.Array, ...], ...]:
+    """Evaluate several activation-MLP chains with linear heads, sharing
+    the input ``x``, in ONE Pallas kernel.
+
+    ``chains`` is a tuple of ``(layers, heads)`` where ``layers`` and
+    ``heads`` are tuples of ``(W [d_in, d_out], b [d_out])``. Each chain
+    computes ``h = act(...act(x @ W1 + b1)... @ WL + bL)`` then
+    ``out_j = h @ WH_j + bH_j`` per head. Returns a tuple of per-chain
+    head-output tuples, all ``float32 [N, d_out]``.
+
+    Differentiable via a recompute-based backward kernel (no saved
+    activations; full gradients including ``dx``).
+    """
+    return _call_fwd(activation, interpret, x, chains)
+
+
+def _fused_fwd(activation, interpret, x, chains):
+    return _call_fwd(activation, interpret, x, chains), (x, chains)
+
+
+def _fused_bwd(activation, interpret, res, douts):
+    x, chains = res
+    sizes = _chain_sizes(chains)
+    flat = _flatten_params(chains)
+    flat_douts = [d for chain_douts in douts for d in chain_douts]
+    # Head weights pre-transposed for the in-kernel dh products (the head
+    # output dim is below the MXU contraction minimum).
+    flat_head_wts = [w.T for _, heads in chains for w, _ in heads]
+    n = x.shape[0]
+    tile = _row_tile(n)
+    grid = (pl.cdiv(n, tile),)
+    dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat]
+    out_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32), *dparam_shapes]
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for p in flat
+    ]
+    dout_specs = [
+        pl.BlockSpec((tile, d.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for d in flat_douts
+    ]
+    head_wt_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat_head_wts
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, sizes, activation, len(flat), n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *param_specs,
+            *dout_specs,
+            *head_wt_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, *flat, *flat_douts, *flat_head_wts)
+    dx = outs[0].astype(x.dtype)
+    dflat = outs[1:]
+    # Rebuild the chains pytree of gradients.
+    dchains = []
+    r = 0
+    for layers, heads in chains:
+        dlayers = []
+        for w, b in layers:
+            dlayers.append((dflat[r].astype(w.dtype), dflat[r + 1].reshape(b.shape).astype(b.dtype)))
+            r += 2
+        dheads = []
+        for w, b in heads:
+            dheads.append((dflat[r].astype(w.dtype), dflat[r + 1].reshape(b.shape).astype(b.dtype)))
+            r += 2
+        dchains.append((tuple(dlayers), tuple(dheads)))
+    return dx, tuple(dchains)
+
+
+fused_chains.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ----------------------------------------------------------------------
+# Default-model adapters
+# ----------------------------------------------------------------------
+
+
+def _mlp_layers(params: Any, name: str) -> tuple[tuple[jax.Array, jax.Array], ...]:
+    sub = params[name]
+    out = []
+    i = 0
+    while f"Dense_{i}" in sub:
+        out.append((sub[f"Dense_{i}"]["kernel"], sub[f"Dense_{i}"]["bias"]))
+        i += 1
+    return tuple(out)
+
+
+def _head(params: Any, name: str) -> tuple[jax.Array, jax.Array]:
+    return (params[name]["kernel"], params[name]["bias"])
+
+
+def supports_fused_apply(model: Any) -> bool:
+    """Whether ``model`` is an exact default model the fused kernels can
+    evaluate (relu/tanh activation, biased dense layers, f32/bf16)."""
+    from ..models import DefaultContinuousModel, DefaultDiscreteModel
+
+    if type(model) not in (DefaultContinuousModel, DefaultDiscreteModel):
+        return False
+    return bool(model.bias) and model.activation_fn in _ACT_FNS
+
+
+def fused_default_apply(
+    model: Any, params: Any, batch: Any, *, interpret: bool = False
+) -> tuple[dict[str, jax.Array], jax.Array]:
+    """Drop-in replacement for ``model.apply({"params": params}, batch)``
+    on the default models, computed with the fused Pallas kernels.
+
+    Matches the flax forward up to matmul precision (bf16 multiplies with
+    f32 accumulation — XLA's own default-precision lowering for TPU).
+    """
+    from ..models import DefaultContinuousModel, DefaultDiscreteModel
+
+    obs = batch[DataKeys.OBS]
+    act = model.activation_fn
+    if type(model) is DefaultDiscreteModel:
+        chains = (
+            (_mlp_layers(params, "feature_model"), (_head(params, "feature_head"),)),
+            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
+        )
+        (logits,), (values,) = fused_chains(act, interpret, obs, chains)
+        action_dim = model.action_spec.shape[0]
+        n = model.action_spec.n
+        return {"logits": logits.reshape(-1, action_dim, n)}, values
+    if type(model) is DefaultContinuousModel:
+        chains = (
+            (
+                _mlp_layers(params, "latent_model"),
+                (_head(params, "action_mean"), _head(params, "action_log_std")),
+            ),
+            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
+        )
+        (mean, log_std), (values,) = fused_chains(act, interpret, obs, chains)
+        return {"mean": mean, "log_std": jnp.tanh(log_std)}, values
+    raise TypeError(f"{type(model)} has no fused apply support.")

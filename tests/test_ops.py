@@ -1,6 +1,7 @@
 """Pallas kernel equivalence tests (interpreter mode on CPU)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,3 +52,180 @@ def test_pallas_gae_large_batch_padding() -> None:
         np.broadcast_to(np.asarray(expected), (T, B, 1)) / (1 + 1e-8),
         rtol=1e-5,
     )
+
+
+# ----------------------------------------------------------------------
+# Row packing
+# ----------------------------------------------------------------------
+
+
+def test_pack_rows_bit_exact_round_trip() -> None:
+    """pack/unpack restores every leaf bit-exactly across dtypes."""
+    from rl8_tpu.ops import pack_rows
+
+    key = jax.random.key(0)
+    tree = {
+        "f": jax.random.normal(key, (10, 3)),
+        "i": jnp.arange(10, dtype=jnp.int32).reshape(10, 1),
+        "b": jnp.arange(10) % 2 == 0,
+        "nested": {"x": jax.random.normal(key, (10, 2, 4))},
+        "scalar_rows": jnp.arange(10, dtype=jnp.float32),
+    }
+    packed, unpack = pack_rows(tree)
+    assert packed.shape[0] == 10 and packed.dtype == jnp.int32
+    out = unpack(packed)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        tree,
+        out,
+    )
+    # Unpacking a row selection equals selecting then unpacking.
+    sel = unpack(packed[2:5])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a[2:5]), np.asarray(b)),
+        tree,
+        sel,
+    )
+
+
+def test_pack_rows_rejects_wide_dtypes() -> None:
+    from rl8_tpu.ops import pack_rows
+
+    with pytest.raises(TypeError):
+        pack_rows({"x": jnp.zeros((4, 2), dtype=jnp.complex64)})
+
+
+# ----------------------------------------------------------------------
+# Fused default-model forward/backward (interpret mode)
+# ----------------------------------------------------------------------
+
+
+def _rel_close(a, b, rel: float) -> None:
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.max(np.abs(a)) + 1e-6
+    np.testing.assert_allclose(a, b, atol=rel * scale, rtol=rel)
+
+
+def _norm_close(a, b, rel: float) -> None:
+    # Frobenius-relative check: robust to isolated relu-boundary flips
+    # caused by bf16-multiply rounding in the recompute backward.
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    assert err < rel, f"relative norm error {err} >= {rel}"
+
+
+def _perturbed_params(model, batch):
+    from rl8_tpu.data import DataKeys  # noqa: F401
+
+    params = model.init(jax.random.key(0), batch)["params"]
+    return jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(2), p.shape),
+        params,
+    )
+
+
+@pytest.mark.parametrize("n_rows", [16, 37])  # 37 exercises row masking
+def test_fused_apply_matches_flax_discrete(n_rows: int) -> None:
+    """Fused Pallas forward/backward equals the flax default discrete
+    model to matmul (bf16-multiply) precision."""
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.models import DefaultDiscreteModel
+    from rl8_tpu.ops.fused_mlp import fused_default_apply
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    model = DefaultDiscreteModel(
+        Unbounded(5), Discrete(3, shape=(2,)), hiddens=(32, 16)
+    )
+    batch = {DataKeys.OBS: jax.random.normal(jax.random.key(1), (n_rows, 5))}
+    params = _perturbed_params(model, batch)
+
+    f_ref, v_ref = model.apply({"params": params}, batch)
+    f_fused, v_fused = fused_default_apply(model, params, batch, interpret=True)
+    assert f_fused["logits"].shape == (n_rows, 2, 3)
+    _rel_close(f_ref["logits"], f_fused["logits"], 2e-2)
+    _rel_close(v_ref, v_fused, 2e-2)
+
+    def loss(p, fused):
+        if fused:
+            f, v = fused_default_apply(model, p, batch, interpret=True)
+        else:
+            f, v = model.apply({"params": p}, batch)
+        return jnp.sum(jnp.sin(f["logits"])) + jnp.sum(v * v)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fused = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree_util.tree_map(lambda a, b: _norm_close(a, b, 8e-2), g_ref, g_fused)
+
+
+def test_fused_apply_matches_flax_continuous() -> None:
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.models import DefaultContinuousModel
+    from rl8_tpu.ops.fused_mlp import fused_default_apply
+    from rl8_tpu.specs import Unbounded
+
+    model = DefaultContinuousModel(Unbounded(4), Unbounded(2), hiddens=(24, 24))
+    batch = {DataKeys.OBS: jax.random.normal(jax.random.key(1), (40, 4))}
+    params = _perturbed_params(model, batch)
+
+    f_ref, v_ref = model.apply({"params": params}, batch)
+    f_fused, v_fused = fused_default_apply(model, params, batch, interpret=True)
+    _rel_close(f_ref["mean"], f_fused["mean"], 2e-2)
+    _rel_close(f_ref["log_std"], f_fused["log_std"], 2e-2)
+    _rel_close(v_ref, v_fused, 2e-2)
+
+    def loss(p, fused):
+        if fused:
+            f, v = fused_default_apply(model, p, batch, interpret=True)
+        else:
+            f, v = model.apply({"params": p}, batch)
+        return jnp.sum(jnp.sin(f["mean"])) + jnp.sum(f["log_std"]) + jnp.sum(v * v)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fused = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree_util.tree_map(lambda a, b: _norm_close(a, b, 8e-2), g_ref, g_fused)
+
+
+def test_fused_apply_obs_gradient_flows() -> None:
+    """The custom VJP also produces the input (observation) gradient."""
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.models import DefaultDiscreteModel
+    from rl8_tpu.ops.fused_mlp import fused_default_apply
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    model = DefaultDiscreteModel(
+        Unbounded(5), Discrete(3, shape=(2,)), hiddens=(32, 16)
+    )
+    obs = jax.random.normal(jax.random.key(1), (16, 5))
+    params = _perturbed_params(model, {"obs": obs})
+
+    def out_sum(o, fused):
+        batch = {DataKeys.OBS: o}
+        if fused:
+            f, _ = fused_default_apply(model, params, batch, interpret=True)
+        else:
+            f, _ = model.apply({"params": params}, batch)
+        return jnp.sum(jnp.sin(f["logits"]))
+
+    gx_ref = jax.grad(lambda o: out_sum(o, False))(obs)
+    gx_fused = jax.grad(lambda o: out_sum(o, True))(obs)
+    _norm_close(gx_ref, gx_fused, 8e-2)
+
+
+def test_supports_fused_apply_gating() -> None:
+    from rl8_tpu.models import DefaultDiscreteModel, GenericModel
+    from rl8_tpu.ops.fused_mlp import supports_fused_apply
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    obs_spec, act_spec = Unbounded(5), Discrete(3, shape=(1,))
+    assert supports_fused_apply(DefaultDiscreteModel(obs_spec, act_spec))
+    assert not supports_fused_apply(
+        DefaultDiscreteModel(obs_spec, act_spec, activation_fn="gelu")
+    )
+    assert not supports_fused_apply(
+        DefaultDiscreteModel(obs_spec, act_spec, bias=False)
+    )
+
+    class Custom(DefaultDiscreteModel):
+        pass
+
+    assert not supports_fused_apply(Custom(obs_spec, act_spec))
