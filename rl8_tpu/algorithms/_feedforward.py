@@ -122,10 +122,17 @@ class AlgorithmConfig:
     #: on TPU (recompute-based backward). Equals the flax forward up to
     #: matmul precision (bf16 multiplies — XLA's own TPU default).
     #: Off by default: XLA's fusion of the plain flax module currently
-    #: matches these kernels, so they are opt-in until the fully-fused
-    #: update path lands. Auto-disabled for custom models, unsupported
+    #: matches these kernels, so they are opt-in until profiling says
+    #: otherwise. Auto-disabled for custom models, unsupported
     #: activations, or sharded meshes.
     fused_forward: bool = False
+    #: Compute each PPO minibatch's losses AND parameter gradients with
+    #: ONE fused Pallas kernel (forward, distribution log-probs/entropy,
+    #: dual-clip surrogate + clamped smooth-L1 value loss, hand-derived
+    #: backward — all in VMEM; see ``ops/fused_ppo.py``). Matches the
+    #: autodiff path to matmul (bf16-multiply) precision. Auto-disabled
+    #: for custom models/distributions or sharded meshes.
+    fused_update: bool = True
     #: PRNG seed for params, sampling, env resets, and shuffling.
     seed: int = 0
     #: Optional device mesh with an ``"env"`` axis for sharding the env
@@ -302,6 +309,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         on_tpu = jax.local_devices()[0].platform == "tpu"
         self._use_pallas_gae = config.mesh is None and on_tpu
         from ..ops.fused_mlp import supports_fused_apply
+        from ..ops.fused_ppo import supports_fused_update
 
         #: Fused Pallas model forward/backward (see ``ops/fused_mlp.py``).
         self._fused_forward = (
@@ -309,6 +317,16 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             and config.mesh is None
             and on_tpu
             and supports_fused_apply(self.policy.model)
+        )
+        #: Fully-fused PPO update kernel (see ``ops/fused_ppo.py``):
+        #: forward + losses + backward in one Pallas kernel per minibatch.
+        self._fused_update = (
+            config.fused_update
+            and config.mesh is None
+            and on_tpu
+            and supports_fused_update(
+                self.policy.model, self.policy.distribution_cls
+            )
         )
         self._collect_fn = jax.jit(
             self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
@@ -694,12 +712,33 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
 
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
 
+        if self._fused_update:
+            from ..ops.fused_ppo import PPOLossConfig
+
+            ppo_cfg = PPOLossConfig(
+                clip_param=h.clip_param,
+                vf_clip_param=h.vf_clip_param,
+                vf_coeff=h.vf_coeff,
+                dual_clip_param=h.dual_clip_param,
+                n_rows=h.sgd_minibatch_size,
+                accum=accum,
+                use_entropy=use_entropy,
+            )
+
         def _minibatch(carry: dict[str, Any], xs: Any) -> tuple[dict[str, Any], None]:
             mb_packed, apply_flag = xs
 
             def _process(carry: dict[str, Any]) -> dict[str, Any]:
-                mb = unpack(mb_packed)
-                (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
+                if self._fused_update:
+                    from ..ops.fused_ppo import fused_ppo_grads
+
+                    losses, kl, grads = fused_ppo_grads(
+                        model, carry["params"], mb_packed, unpack,
+                        entropy_coeff, ppo_cfg,
+                    )
+                else:
+                    mb = unpack(mb_packed)
+                    (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
                 trigger = (
                     kl > 1.5 * h.target_kl_div
                     if h.target_kl_div is not None

@@ -47,11 +47,11 @@ _LANES = 128
 
 
 def _row_tile(n: int) -> int:
-    """Row-tile size: big enough to amortize launches, small enough to
+    """Row-tile size: big enough to amortize grid steps, small enough to
     keep activations VMEM-resident."""
-    if n <= 1024:
+    if n <= 4096:
         return -(-n // 8) * 8  # round up to the f32 sublane count
-    return 1024
+    return 4096
 
 
 def _bf(x: jax.Array) -> jax.Array:
@@ -167,35 +167,21 @@ def _fwd_kernel(sizes, activation, n_params, x_ref, *refs):
             o += 1
 
 
-def _bwd_kernel(sizes, activation, n_params, n_rows, x_ref, *refs):
-    n_douts = sum(nh for _, nh in sizes)
-    params = refs[:n_params]
-    dout_refs = refs[n_params : n_params + n_douts]
-    # Pre-transposed head weights [d_out, H] (transposing tiny matrices
-    # is free in XLA outside the kernel; in-kernel it is not expressible
-    # efficiently for the small-contraction case).
-    head_wt_refs = refs[n_params + n_douts : n_params + 2 * n_douts]
-    dx_ref = refs[n_params + 2 * n_douts]
-    dparam_refs = refs[n_params + 2 * n_douts + 1 :]
-    act_grad = _ACT_GRAD_FROM_OUT[activation]
-
-    tile = x_ref.shape[0]
+def _row_mask(n_rows: int, tile: int) -> None | jax.Array:
+    """Validity mask for rows past the logical row count (the final tile
+    may be padded with garbage rows — possibly NaN/inf — so callers must
+    ``jnp.where`` rather than multiply)."""
+    if n_rows % tile == 0:
+        return None
     i = pl.program_id(0)
-    first = i == 0
-    # Mask rows past the logical row count (the final tile may be padded
-    # with garbage rows — possibly NaN/inf, so select rather than
-    # multiply; zeroing x and the dout keeps every gradient contribution
-    # from those rows exactly zero).
-    if n_rows % tile:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
-        valid = (i * tile + rows) < n_rows
-    else:
-        valid = None
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    return (i * tile + rows) < n_rows
 
-    x = x_ref[:]
-    if valid is not None:
-        x = jnp.where(valid, x, 0.0)
-    all_hs, _ = _forward_block(x, params, sizes, activation)
+
+def _make_acc() -> Any:
+    """Grid-sequential output accumulator: init on the first grid step,
+    add on the rest."""
+    first = pl.program_id(0) == 0
 
     def _acc(ref: Any, value: jax.Array) -> None:
         @pl.when(first)
@@ -206,20 +192,37 @@ def _bwd_kernel(sizes, activation, n_params, n_rows, x_ref, *refs):
         def _() -> None:
             ref[:] = ref[:] + value
 
+    return _acc
+
+
+def _chains_backward(
+    sizes: tuple[tuple[int, int], ...],
+    activation: str,
+    params: Sequence[Any],
+    head_wt_refs: Sequence[Any],
+    all_hs: list[list[jax.Array]],
+    all_douts: list[list[jax.Array]],
+    dparam_refs: Sequence[Any],
+    acc: Any,
+    *,
+    need_dx: bool,
+) -> None | jax.Array:
+    """Backprop per-chain head cotangents through the chains, accumulating
+    parameter gradients into ``dparam_refs`` (same layout as the flat
+    params). Returns the summed input cotangent when ``need_dx``."""
+    act_grad = _ACT_GRAD_FROM_OUT[activation]
     r = 0  # param ref cursor (dparam refs share the layout)
-    o = 0  # dout cursor
-    dx_total = jnp.zeros_like(x)
+    o = 0  # flat head cursor (head_wt_refs layout)
+    dx_total = None
     for c, (n_layers, n_heads) in enumerate(sizes):
         hs = all_hs[c]
         layer_base = r
         r += 2 * n_layers
         dh = None
-        for _ in range(n_heads):
-            dout = dout_refs[o][:]
-            if valid is not None:
-                dout = jnp.where(valid, dout, 0.0)
-            _acc(dparam_refs[r], _dot_t(hs[-1], dout))
-            _acc(dparam_refs[r + 1], jnp.sum(dout, axis=0, keepdims=True))
+        for j in range(n_heads):
+            dout = all_douts[c][j]
+            acc(dparam_refs[r], _dot_t(hs[-1], dout))
+            acc(dparam_refs[r + 1], jnp.sum(dout, axis=0, keepdims=True))
             contrib = _dot(dout, head_wt_refs[o][:])
             dh = contrib if dh is None else dh + contrib
             r += 2
@@ -227,11 +230,49 @@ def _bwd_kernel(sizes, activation, n_params, n_rows, x_ref, *refs):
         for layer in range(n_layers - 1, -1, -1):
             dpre = dh * act_grad(hs[layer + 1])
             base = layer_base + 2 * layer
-            _acc(dparam_refs[base], _dot_t(hs[layer], dpre))
-            _acc(dparam_refs[base + 1], jnp.sum(dpre, axis=0, keepdims=True))
-            dh = _dot_bt(dpre, params[base][:])
-        dx_total = dx_total + dh
-    dx_ref[:] = dx_total
+            acc(dparam_refs[base], _dot_t(hs[layer], dpre))
+            acc(dparam_refs[base + 1], jnp.sum(dpre, axis=0, keepdims=True))
+            if layer > 0 or need_dx:
+                dh = _dot_bt(dpre, params[base][:])
+        if need_dx:
+            dx_total = dh if dx_total is None else dx_total + dh
+    return dx_total
+
+
+def _bwd_kernel(sizes, activation, n_params, n_rows, x_ref, *refs):
+    n_douts = sum(nh for _, nh in sizes)
+    params = refs[:n_params]
+    dout_refs = refs[n_params : n_params + n_douts]
+    # Pre-transposed head weights [d_out, H] (transposing tiny matrices
+    # is free in XLA outside the kernel; in-kernel it is not expressible
+    # efficiently for the small-contraction case).
+    head_wt_refs = refs[n_params + n_douts : n_params + 2 * n_douts]
+    dx_ref = refs[n_params + 2 * n_douts]
+    dparam_refs = refs[n_params + 2 * n_douts + 1 :]
+
+    tile = x_ref.shape[0]
+    valid = _row_mask(n_rows, tile)
+    x = x_ref[:]
+    if valid is not None:
+        x = jnp.where(valid, x, 0.0)
+    all_hs, _ = _forward_block(x, params, sizes, activation)
+
+    all_douts: list[list[jax.Array]] = []
+    o = 0
+    for _, n_heads in sizes:
+        douts = []
+        for _ in range(n_heads):
+            dout = dout_refs[o][:]
+            if valid is not None:
+                dout = jnp.where(valid, dout, 0.0)
+            douts.append(dout)
+            o += 1
+        all_douts.append(douts)
+
+    dx_ref[:] = _chains_backward(
+        sizes, activation, params, head_wt_refs, all_hs, all_douts,
+        dparam_refs, _make_acc(), need_dx=True,
+    )
 
 
 def _call_fwd(

@@ -229,3 +229,101 @@ def test_supports_fused_apply_gating() -> None:
         pass
 
     assert not supports_fused_apply(Custom(obs_spec, act_spec))
+
+
+# ----------------------------------------------------------------------
+# Fully-fused PPO update kernel (interpret mode)
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kind,use_entropy,dual",
+    [
+        ("discrete", False, None),
+        ("discrete", True, 3.0),
+        ("continuous", False, None),
+        ("continuous", True, 3.0),
+    ],
+)
+def test_fused_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
+    """The fused PPO kernel reproduces ppo_losses + jax.grad through the
+    flax model: losses, approximate KL, and every parameter gradient."""
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.distributions import Categorical, Normal
+    from rl8_tpu.models import DefaultContinuousModel, DefaultDiscreteModel
+    from rl8_tpu.nn import ppo_losses
+    from rl8_tpu.ops import pack_rows
+    from rl8_tpu.ops.fused_ppo import PPOLossConfig, fused_ppo_grads
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    N = 53  # non-multiple-of-8 exercises row masking
+    if kind == "discrete":
+        model = DefaultDiscreteModel(
+            Unbounded(3), Discrete(4, shape=(2,)), hiddens=(32, 16)
+        )
+        dist_cls = Categorical
+        actions = jax.random.randint(jax.random.key(7), (N, 2), 0, 4)
+    else:
+        model = DefaultContinuousModel(Unbounded(4), Unbounded(2), hiddens=(24, 24))
+        dist_cls = Normal
+        actions = jax.random.normal(jax.random.key(8), (N, 2))
+
+    obs = jax.random.normal(jax.random.key(3), (N, model.observation_spec.shape[0]))
+    params = model.init(jax.random.key(0), {DataKeys.OBS: obs})["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(2), p.shape), params
+    )
+    flat = {
+        DataKeys.ACTIONS: actions,
+        DataKeys.LOGP: 0.1 * jax.random.normal(jax.random.key(4), (N, 1)),
+        DataKeys.ADVANTAGES: jax.random.normal(jax.random.key(5), (N, 1)),
+        DataKeys.RETURNS: jax.random.normal(jax.random.key(6), (N, 1)),
+        DataKeys.VIEWS: {DataKeys.OBS: obs},
+    }
+    packed, unpack = pack_rows(flat)
+    ec = 0.013 if use_entropy else 0.0
+    accum = 3
+    cfg = PPOLossConfig(
+        clip_param=0.2, vf_clip_param=1.5, vf_coeff=0.9,
+        dual_clip_param=dual, n_rows=N, accum=accum, use_entropy=use_entropy,
+    )
+
+    def loss_fn(p):
+        f, v = model.apply({"params": p}, {DataKeys.OBS: obs})
+        dist = dist_cls(f, model)
+        losses = ppo_losses(
+            flat, v, dist, clip_param=0.2, dual_clip_param=dual,
+            entropy_coeff=ec if use_entropy else 0.0,
+            vf_clip_param=1.5, vf_coeff=0.9,
+        )
+        lr = dist.logp(flat[DataKeys.ACTIONS]) - flat[DataKeys.LOGP]
+        kl = jnp.mean((jnp.exp(lr) - 1) - lr)
+        return losses["total"] / accum, (losses, kl)
+
+    (_, (ref_losses, ref_kl)), ref_grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    losses, kl, grads = fused_ppo_grads(
+        model, params, packed, unpack, ec, cfg, interpret=True
+    )
+
+    for k in ("entropy", "policy", "vf", "total"):
+        a, b = float(ref_losses[k]), float(losses[k])
+        assert abs(a - b) < 2e-2 * (abs(a) + 1e-2), (k, a, b)
+    assert abs(float(ref_kl) - float(kl)) < 2e-2 * (abs(float(ref_kl)) + 1e-2)
+    jax.tree_util.tree_map(lambda a, b: _norm_close(a, b, 8e-2), ref_grads, grads)
+
+
+def test_supports_fused_update_gating() -> None:
+    from rl8_tpu.distributions import Categorical, Normal, SquashedNormal
+    from rl8_tpu.models import DefaultContinuousModel, DefaultDiscreteModel
+    from rl8_tpu.ops.fused_ppo import supports_fused_update
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    disc = DefaultDiscreteModel(Unbounded(3), Discrete(4, shape=(1,)))
+    cont = DefaultContinuousModel(Unbounded(3), Unbounded(2))
+    assert supports_fused_update(disc, Categorical)
+    assert not supports_fused_update(disc, Normal)
+    assert supports_fused_update(cont, Normal)
+    assert not supports_fused_update(cont, SquashedNormal)
+    assert not supports_fused_update(cont, Categorical)
