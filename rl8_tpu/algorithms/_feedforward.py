@@ -133,6 +133,12 @@ class AlgorithmConfig:
     #: autodiff path to matmul (bf16-multiply) precision. Auto-disabled
     #: for custom models/distributions or sharded meshes.
     fused_update: bool = True
+    #: Sample rollout actions/log-probs/values with ONE fused Pallas
+    #: kernel per step (see ``ops/fused_act.py``). Uses the TPU hardware
+    #: PRNG, so rollouts differ bit-wise from the unfused path at equal
+    #: seeds while following identical distributions. Same auto-disable
+    #: conditions as ``fused_update``.
+    fused_act: bool = True
     #: PRNG seed for params, sampling, env resets, and shuffling.
     seed: int = 0
     #: Optional device mesh with an ``"env"`` axis for sharding the env
@@ -328,6 +334,15 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 self.policy.model, self.policy.distribution_cls
             )
         )
+        #: Fused rollout sampling kernel (see ``ops/fused_act.py``).
+        self._fused_act = (
+            config.fused_act
+            and config.mesh is None
+            and on_tpu
+            and supports_fused_update(
+                self.policy.model, self.policy.distribution_cls
+            )
+        )
         self._collect_fn = jax.jit(
             self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
         )
@@ -482,13 +497,21 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         def _scan_step(carry: Any, key: jax.Array) -> tuple[Any, Any]:
             env_state, window, valid, rev = carry
             in_batch = self._build_last_views(window, valid)
-            features, values = self._apply_model(state.params, in_batch)
-            dist = dist_cls(features, model)
-            if deterministic:
-                actions = dist.deterministic_sample()
+            if self._fused_act:
+                from ..ops.fused_act import fused_act
+
+                actions, logp, values = fused_act(
+                    model, state.params, in_batch, key,
+                    deterministic=deterministic,
+                )
             else:
-                actions = dist.sample(key)
-            logp = dist.logp(actions)
+                features, values = self._apply_model(state.params, in_batch)
+                dist = dist_cls(features, model)
+                if deterministic:
+                    actions = dist.deterministic_sample()
+                else:
+                    actions = dist.sample(key)
+                logp = dist.logp(actions)
             env_state, obs_next, rewards = self.env.step(env_state, actions)
             rev_next = h.gamma * rev + rewards if h.normalize_rewards else rev
             window_next = jax.tree_util.tree_map(

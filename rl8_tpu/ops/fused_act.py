@@ -1,0 +1,206 @@
+"""Fused rollout "act" kernel: model forward + action sampling + logp.
+
+Each rollout step in the collect scan (the counterpart of the
+reference's per-step ``policy.sample`` at
+``/root/reference/src/rl8/algorithms/_feedforward.py:359-372``) runs a
+small forward pass plus distribution sampling — a couple dozen small XLA
+ops whose fixed costs dominate at typical batch sizes. This kernel
+computes the default model's twin-chain forward, draws actions with the
+TPU's native PRNG (Gumbel-argmax for categoricals, Box-Muller for
+normals), and evaluates their log-probs and the value estimate in ONE
+launch.
+
+The sampling RNG is the TPU hardware PRNG seeded from the per-step JAX
+key, NOT threefry — rollouts therefore differ bit-wise from the unfused
+path at equal seeds while following the same distributions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..data import DataKeys
+from .fused_mlp import (
+    _chain_sizes,
+    _flatten_params,
+    _forward_block,
+    _head,
+    _mlp_layers,
+    _row_tile,
+)
+
+__all__ = ["fused_act"]
+
+_LOG_2PI = 1.8378770664093453
+_TWO_PI = 6.283185307179586
+
+
+def _uniform(shape: tuple[int, ...]) -> jax.Array:
+    """Uniform in (0, 1) from the hardware PRNG.
+
+    Mosaic has no uint32->float32 convert, so build a float in [1, 2)
+    by splicing 23 random mantissa bits under the exponent of 1.0 and
+    subtract 1 (clamped away from exact 0 for the log transforms)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    mant = (bits >> 9) | jnp.uint32(0x3F800000)
+    return jnp.maximum(pltpu.bitcast(mant, jnp.float32) - 1.0, 1e-7)
+
+
+def _log_softmax(z: jax.Array) -> jax.Array:
+    m = jnp.max(z, axis=1, keepdims=True)
+    return z - (m + jnp.log(jnp.sum(jnp.exp(z - m), axis=1, keepdims=True)))
+
+
+def _discrete_act_kernel(
+    sizes, activation, n_params, action_n, deterministic,
+    seed_ref, x_ref, *refs,
+):
+    params = refs[:n_params]
+    actions_ref, logp_ref, values_ref = refs[n_params:]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    x = x_ref[:]
+    tile = x.shape[0]
+    _, all_outs = _forward_block(x, params, sizes, activation)
+    logits = all_outs[0][0]
+    values_ref[:] = all_outs[1][0]
+
+    n = action_n
+    n_groups = logits.shape[1] // n
+    total_logp = None
+    for a in range(n_groups):
+        z = _log_softmax(logits[:, a * n : (a + 1) * n])
+        if deterministic:
+            scores = z
+        else:
+            u = _uniform((tile, n))
+            scores = z - jnp.log(-jnp.log(u))  # Gumbel-argmax sampling
+        act = jnp.argmax(scores, axis=1).astype(jnp.int32).reshape(tile, 1)
+        oh = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1) == act
+        chosen = jnp.sum(jnp.where(oh, z, 0.0), axis=1, keepdims=True)
+        total_logp = chosen if total_logp is None else total_logp + chosen
+        actions_ref[:, a : a + 1] = act
+    logp_ref[:] = total_logp
+
+
+def _continuous_act_kernel(
+    sizes, activation, n_params, action_dim, deterministic,
+    seed_ref, x_ref, *refs,
+):
+    params = refs[:n_params]
+    actions_ref, logp_ref, values_ref = refs[n_params:]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    x = x_ref[:]
+    tile = x.shape[0]
+    _, all_outs = _forward_block(x, params, sizes, activation)
+    mean, pre_log_std = all_outs[0]
+    values_ref[:] = all_outs[1][0]
+    log_std = jnp.tanh(pre_log_std)
+    std = jnp.exp(log_std)
+
+    if deterministic:
+        actions = mean
+    else:
+        u1 = _uniform((tile, action_dim))
+        u2 = _uniform((tile, action_dim))
+        noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        actions = mean + std * noise
+    diff = actions - mean
+    inv_var = jnp.exp(-2.0 * log_std)
+    per_dim = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
+    logp_ref[:] = jnp.sum(per_dim, axis=1, keepdims=True)
+    actions_ref[:] = actions
+
+
+def fused_act(
+    model: Any,
+    params: Any,
+    batch: Any,
+    key: jax.Array,
+    *,
+    deterministic: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sample actions, their log-probs, and values for one rollout step
+    with a single fused kernel.
+
+    Supported model/distribution pairs match
+    :func:`rl8_tpu.ops.fused_ppo.supports_fused_update`. Returns
+    ``(actions, logp [B, 1], values [B, 1])``.
+    """
+    from ..models import DefaultContinuousModel, DefaultDiscreteModel
+
+    obs = batch[DataKeys.OBS]
+    discrete = type(model) is DefaultDiscreteModel
+    if discrete:
+        chains = (
+            (_mlp_layers(params, "feature_model"), (_head(params, "feature_head"),)),
+            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
+        )
+    else:
+        assert type(model) is DefaultContinuousModel
+        chains = (
+            (
+                _mlp_layers(params, "latent_model"),
+                (_head(params, "action_mean"), _head(params, "action_log_std")),
+            ),
+            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
+        )
+    flat = _flatten_params(chains)
+    action_dim = model.action_spec.shape[0]
+    if discrete:
+        kernel = functools.partial(
+            _discrete_act_kernel, _chain_sizes(chains), model.activation_fn,
+            len(flat), model.action_spec.n, deterministic,
+        )
+        action_dtype = jnp.int32
+    else:
+        kernel = functools.partial(
+            _continuous_act_kernel, _chain_sizes(chains), model.activation_fn,
+            len(flat), action_dim, deterministic,
+        )
+        action_dtype = jnp.float32
+
+    b = obs.shape[0]
+    tile = _row_tile(b)
+    grid = (pl.cdiv(b, tile),)
+    # Derive a 32-bit seed from the JAX key; the kernel mixes in the grid
+    # position for per-tile independence.
+    kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
+    seed = (kd[0] ^ (kd[-1] * jnp.uint32(2654435761))).astype(jnp.int32)
+
+    param_specs = [
+        pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for p in flat
+    ]
+    actions, logp, values = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, obs.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, action_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, action_dim), action_dtype),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(seed.reshape(1), obs, *flat)
+    return actions, logp, values

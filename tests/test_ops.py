@@ -327,3 +327,59 @@ def test_supports_fused_update_gating() -> None:
     assert supports_fused_update(cont, Normal)
     assert not supports_fused_update(cont, SquashedNormal)
     assert not supports_fused_update(cont, Categorical)
+
+
+# ----------------------------------------------------------------------
+# Fused act (rollout sampling) kernel
+# ----------------------------------------------------------------------
+
+
+def test_fused_act_deterministic_and_logp_consistency() -> None:
+    """Deterministic fused acting equals the distribution's argmax/mean
+    path, and stochastic log-probs are self-consistent with the returned
+    actions. (Sampling *statistics* require the hardware PRNG and are
+    validated on-TPU; the interpreter PRNG is not distributionally
+    faithful.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.distributions import Categorical, Normal
+    from rl8_tpu.models import DefaultContinuousModel, DefaultDiscreteModel
+    from rl8_tpu.ops.fused_act import fused_act
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    obs = jax.random.normal(jax.random.key(1), (64, 3))
+    batch = {DataKeys.OBS: obs}
+
+    model = DefaultDiscreteModel(
+        Unbounded(3), Discrete(3, shape=(2,)), hiddens=(32, 16)
+    )
+    params = model.init(jax.random.key(0), batch)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.3 * jax.random.normal(jax.random.key(2), p.shape), params
+    )
+    f_ref, v_ref = model.apply({"params": params}, batch)
+    dist = Categorical(f_ref, model)
+    with pltpu.force_tpu_interpret_mode():
+        a, lp, v = fused_act(
+            model, params, batch, jax.random.key(5), deterministic=True
+        )
+        a_s, lp_s, _ = fused_act(model, params, batch, jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(dist.deterministic_sample()))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(dist.logp(a)), rtol=2e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=2e-2, atol=3e-2)
+    np.testing.assert_allclose(
+        np.asarray(lp_s), np.asarray(dist.logp(a_s)), rtol=2e-2, atol=3e-2
+    )
+
+    modelc = DefaultContinuousModel(Unbounded(3), Unbounded(2), hiddens=(24, 24))
+    paramsc = modelc.init(jax.random.key(0), batch)["params"]
+    fc, vc_ref = modelc.apply({"params": paramsc}, batch)
+    distc = Normal(fc, modelc)
+    with pltpu.force_tpu_interpret_mode():
+        ac, lpc, vc = fused_act(
+            modelc, paramsc, batch, jax.random.key(5), deterministic=True
+        )
+    np.testing.assert_allclose(np.asarray(ac), np.asarray(fc["mean"]), rtol=2e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(lpc), np.asarray(distc.logp(ac)), rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(vc), np.asarray(vc_ref), rtol=2e-2, atol=3e-2)
