@@ -144,6 +144,15 @@ class AlgorithmConfig:
     #: Optional device mesh with an ``"env"`` axis for sharding the env
     #: batch (data parallelism). ``None`` = single device.
     mesh: Any = None
+    #: Sharded execution mode. ``False`` (default): ``shard_map`` with
+    #: explicit collectives — each device runs the fused per-shard
+    #: program (Pallas kernels stay enabled) with per-shard RNG streams
+    #: and gradient/stat ``pmean`` over ICI; batch statistics (advantage
+    #: normalization, reward scale, return stats) remain GLOBAL.
+    #: ``True``: GSPMD auto-partitioning of the global program —
+    #: bit-identical to single-device execution at equal seeds (useful
+    #: for debugging), but fused kernels are disabled.
+    exact_sharding: bool = False
 
     def build(self, env_cls: EnvFactory) -> "Algorithm":
         """Build and validate an :class:`Algorithm` from this config."""
@@ -304,23 +313,47 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             reward_scale=jnp.asarray(1.0, dtype=jnp.float32),
         )
         self.mesh = config.mesh
+        #: Mesh axis the impls reduce over (``None`` = single device or
+        #: GSPMD exact mode, where reductions are already global).
+        self._axis: None | str = None
+        #: Env instance and env-batch size AS SEEN BY THE JITTED IMPLS:
+        #: per-shard under ``shard_map``, global otherwise.
+        self._impl_env = self.env
+        self._impl_B = num_envs
         if self.mesh is not None:
-            from ..parallel import shard_state
+            from ..parallel import ENV_AXIS, shard_state
 
             self.state = shard_state(self.state, self.mesh, num_envs)
+            if not config.exact_sharding:
+                n_shards = self.mesh.size
+                if num_envs % n_shards:
+                    raise ValueError(
+                        f"`num_envs` ({num_envs}) must divide evenly over"
+                        f" the mesh's {n_shards} devices."
+                    )
+                if sgd_minibatch_size % n_shards:
+                    raise ValueError(
+                        f"`sgd_minibatch_size` ({sgd_minibatch_size}) must"
+                        f" divide evenly over the mesh's {n_shards} devices."
+                    )
+                self._axis = ENV_AXIS
+                self._impl_B = num_envs // n_shards
+                self._impl_env = env_cls(self._impl_B, horizon)
+        sharded_exact = self.mesh is not None and self._axis is None
         #: Host mirror of ``state.horizons`` for scheduler stepping.
         self._horizons_host = 0
-        # The fused Pallas GAE kernel beats the XLA scan on TPU; sharded
-        # runs keep the scan (pallas_call doesn't auto-partition).
+        # Fused Pallas kernels run per shard under shard_map but can't be
+        # auto-partitioned by GSPMD, so the exact-sharding mode (and CPU)
+        # falls back to the XLA implementations.
         on_tpu = jax.local_devices()[0].platform == "tpu"
-        self._use_pallas_gae = config.mesh is None and on_tpu
+        self._use_pallas_gae = on_tpu and not sharded_exact
         from ..ops.fused_mlp import supports_fused_apply
         from ..ops.fused_ppo import supports_fused_update
 
         #: Fused Pallas model forward/backward (see ``ops/fused_mlp.py``).
         self._fused_forward = (
             config.fused_forward
-            and config.mesh is None
+            and not sharded_exact
             and on_tpu
             and supports_fused_apply(self.policy.model)
         )
@@ -328,7 +361,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         #: forward + losses + backward in one Pallas kernel per minibatch.
         self._fused_update = (
             config.fused_update
-            and config.mesh is None
+            and not sharded_exact
             and on_tpu
             and supports_fused_update(
                 self.policy.model, self.policy.distribution_cls
@@ -337,25 +370,46 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         #: Fused rollout sampling kernel (see ``ops/fused_act.py``).
         self._fused_act = (
             config.fused_act
-            and config.mesh is None
+            and not sharded_exact
             and on_tpu
             and supports_fused_update(
                 self.policy.model, self.policy.distribution_cls
             )
         )
-        self._collect_fn = jax.jit(
-            self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
+        #: Lazily-built jitted (and, when sharded, shard_mapped) entry
+        #: points, keyed by static args + operand tree structure.
+        self._fn_cache: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Jitted entry-point construction
+    # ------------------------------------------------------------------
+
+    def _wrap_fn(self, impl: Callable[..., Any], operand_tpls: tuple[Any, ...]) -> Any:
+        """Jit ``impl`` (donating the state), wrapping it in ``shard_map``
+        over the mesh when sharded: the state pytree shards per
+        :func:`rl8_tpu.parallel.state_pspecs`, all other operands and all
+        stat outputs are replicated."""
+        if self._axis is None:
+            return jax.jit(impl, donate_argnums=(0,))
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel import state_pspecs
+
+        state_specs = state_pspecs(self.state, self.hparams.num_envs)
+        rep = lambda tpl: jax.tree_util.tree_map(lambda _: P(), tpl)
+        fn = jax.shard_map(
+            impl,
+            mesh=self.mesh,
+            in_specs=(state_specs, *(rep(t) for t in operand_tpls)),
+            out_specs=(state_specs, P()),
+            check_vma=False,
         )
-        self._step_fn = jax.jit(
-            self._step_impl,
-            static_argnames=("use_entropy",),
-            donate_argnums=(0,),
-        )
-        self._train_fn = jax.jit(
-            self._train_impl,
-            static_argnames=("num_steps", "use_entropy"),
-            donate_argnums=(0,),
-        )
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def _get_fn(self, key: Any, build: Callable[[], Any]) -> Any:
+        if key not in self._fn_cache:
+            self._fn_cache[key] = build()
+        return self._fn_cache[key]
 
     # ------------------------------------------------------------------
     # Model application
@@ -410,7 +464,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         ``S + 1`` observations of the current horizon, zero-padded (and
         mask-flagged) before the horizon's first observation.
         """
-        B = self.hparams.num_envs
+        B = self._impl_B
         out: dict[str, Any] = {}
         for key, vr in self.policy.model.view_requirements.items():
             if key == DataKeys.OBS:
@@ -453,17 +507,24 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
     ) -> tuple[AlgorithmState, dict[str, jax.Array]]:
         """One fully-jitted rollout (``_feedforward.py:301-441``)."""
         h = self.hparams
-        B, T = h.num_envs, h.horizon
+        B, T = self._impl_B, h.horizon  # B is per-shard under shard_map
         S = self._max_shift
+        env = self._impl_env
         model = self.policy.model
         dist_cls = self.policy.distribution_cls
         buffer = state.buffer
 
         rng, reset_key, scan_key = jax.random.split(state.rng, 3)
+        if self._axis is not None:
+            # Per-shard env/sampling streams; the carried ``state.rng``
+            # advances identically everywhere (stays replicated).
+            shard = jax.lax.axis_index(self._axis)
+            reset_key = jax.random.fold_in(reset_key, shard)
+            scan_key = jax.random.fold_in(scan_key, shard)
 
         # --- initial obs: reset vs carry (``_feedforward.py:336-357``).
         def _do_reset(_: None) -> tuple[Any, Any, jax.Array, jax.Array]:
-            env_state, obs0 = self.env.reset(
+            env_state, obs0 = env.reset(
                 reset_key, state=state.env_state, config=env_config
             )
             return env_state, obs0, jnp.zeros((B, 1)), jnp.asarray(True)
@@ -512,7 +573,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 else:
                     actions = dist.sample(key)
                 logp = dist.logp(actions)
-            env_state, obs_next, rewards = self.env.step(env_state, actions)
+            env_state, obs_next, rewards = env.step(env_state, actions)
             rev_next = h.gamma * rev + rewards if h.normalize_rewards else rev
             window_next = jax.tree_util.tree_map(
                 lambda w, o: jnp.concatenate([w[:, 1:], o[:, None]], axis=1),
@@ -550,24 +611,28 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             DataKeys.LOGP: logp,
             DataKeys.VALUES: values_full,
         }
+        from ..parallel import gmax, gmean, gmin, gstd
+
         if h.normalize_rewards:
             rev_full = jnp.concatenate([rev0[None], rev_rest], axis=0)
             new_buffer[DataKeys.REVERSED_DISCOUNTED_RETURNS] = rev_full
-            reward_scale = jnp.std(rev_full[1:])
+            # GLOBAL std across shards — preserves the reference's
+            # whole-batch reward scale (``_feedforward.py:428-436``).
+            reward_scale = gstd(rev_full[1:], self._axis)
         else:
             reward_scale = jnp.asarray(1.0, dtype=jnp.float32)
 
-        # --- metrics (``:410-424``).
+        # --- metrics (``:410-424``), reduced globally across shards.
         returns = jnp.sum(rewards, axis=0)
         stats = {
-            "returns/min": jnp.min(returns),
-            "returns/max": jnp.max(returns),
-            "returns/mean": jnp.mean(returns),
-            "returns/std": jnp.std(returns),
-            "rewards/min": jnp.min(rewards),
-            "rewards/max": jnp.max(rewards),
-            "rewards/mean": jnp.mean(rewards),
-            "rewards/std": jnp.std(rewards),
+            "returns/min": gmin(returns, self._axis),
+            "returns/max": gmax(returns, self._axis),
+            "returns/mean": gmean(returns, self._axis),
+            "returns/std": gstd(returns, self._axis),
+            "rewards/min": gmin(rewards, self._axis),
+            "rewards/max": gmax(rewards, self._axis),
+            "rewards/mean": gmean(rewards, self._axis),
+            "rewards/std": gstd(rewards, self._axis),
             "env/was_reset": was_reset,
         }
 
@@ -605,9 +670,15 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
 
         """
         with profile_ms() as collect_timer:
-            self.state, stats = self._collect_fn(
-                self.state, env_config, deterministic
+            cfg_def = jax.tree_util.tree_structure(env_config)
+            fn = self._get_fn(
+                ("collect", deterministic, cfg_def),
+                lambda: self._wrap_fn(
+                    lambda state, cfg: self._collect_impl(state, cfg, deterministic),
+                    (env_config,),
+                ),
             )
+            self.state, stats = fn(self.state, env_config)
             stats = jax.device_get(stats)
         self._horizons_host += 1
         collect_stats: CollectStats = {
@@ -633,9 +704,10 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
     ) -> tuple[AlgorithmState, dict[str, jax.Array]]:
         """One fully-jitted PPO update (``_feedforward.py:443-615``)."""
         h = self.hparams
-        B, T = h.num_envs, h.horizon
+        B, T = self._impl_B, h.horizon  # B is per-shard under shard_map
         N = B * T
         M = h.num_minibatches
+        mb_rows = N // M  # per-shard minibatch rows
         E = h.num_sgd_iters
         accum = M if h.accumulate_grads else 1
         model = self.policy.model
@@ -656,19 +728,23 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 gamma=h.gamma,
                 gae_lambda=h.gae_lambda,
             )
-            if h.normalize_advantages:
-                advantages = (advantages - jnp.mean(advantages)) / (
-                    jnp.std(advantages) + 1e-8
-                )
         else:
             advantages, returns = generalized_advantage_estimate(
                 buffer[DataKeys.REWARDS],
                 buffer[DataKeys.VALUES],
                 gae_lambda=h.gae_lambda,
                 gamma=h.gamma,
-                normalize_advantages=h.normalize_advantages,
+                normalize_advantages=False,
                 return_returns=True,
                 reward_scale=state.reward_scale,
+            )
+        if h.normalize_advantages:
+            # GLOBAL whole-batch standardization across shards
+            # (``nn/functional.py:118-122`` semantics).
+            from ..parallel import gmean, gstd
+
+            advantages = (advantages - gmean(advantages, self._axis)) / (
+                gstd(advantages, self._axis) + 1e-8
             )
 
         # Batchify: [T, B, ...] -> [B * T, ...]; views from [B, T, ...] obs
@@ -695,6 +771,13 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         packed, unpack = pack_rows(flat)
         D = packed.shape[1]
         rng, perm_key = jax.random.split(state.rng)
+        if self._axis is not None:
+            # Per-shard minibatch shuffles (a stratified global shuffle:
+            # each optimizer step still averages gradients over all
+            # shards' minibatches via pmean).
+            perm_key = jax.random.fold_in(
+                perm_key, jax.lax.axis_index(self._axis)
+            )
         epoch_keys = jax.random.split(perm_key, E)
         # Optimizer-apply flags per epoch position (static pattern).
         apply_flags = ((jnp.arange(M) + 1) % accum) == 0
@@ -743,7 +826,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 vf_clip_param=h.vf_clip_param,
                 vf_coeff=h.vf_coeff,
                 dual_clip_param=h.dual_clip_param,
-                n_rows=h.sgd_minibatch_size,
+                n_rows=mb_rows,
                 accum=accum,
                 use_entropy=use_entropy,
             )
@@ -762,6 +845,15 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 else:
                     mb = unpack(mb_packed)
                     (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
+                if self._axis is not None:
+                    # Average gradients and stats over the env shards: the
+                    # global loss is the mean over the global minibatch,
+                    # and every shard applies the identical update.
+                    from ..parallel import pmean_tree
+
+                    losses, kl, grads = pmean_tree(
+                        (losses, kl, grads), self._axis
+                    )
                 trigger = (
                     kl > 1.5 * h.target_kl_div
                     if h.target_kl_div is not None
@@ -843,7 +935,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                     shuffled = jnp.take(packed, perm, axis=0)
                 else:
                     shuffled = packed
-                mbs = shuffled.reshape(M, h.sgd_minibatch_size, D)
+                mbs = shuffled.reshape(M, mb_rows, D)
                 carry, _ = jax.lax.scan(_minibatch, carry, (mbs, apply_flags))
                 return carry
 
@@ -893,11 +985,18 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             entropy_coeff = (
                 0.0 if self._static_zero_entropy else self.entropy_scheduler.coeff
             )
-            self.state, stats = self._step_fn(
+            use_entropy = not self._static_zero_entropy
+            fn = self._get_fn(
+                ("step", use_entropy),
+                lambda: self._wrap_fn(
+                    lambda state, lr, ec: self._step_impl(state, lr, ec, use_entropy),
+                    (0.0, 0.0),
+                ),
+            )
+            self.state, stats = fn(
                 self.state,
                 self.lr_scheduler.coeff,
-                entropy_coeff,
-                use_entropy=not self._static_zero_entropy,
+                jnp.asarray(entropy_coeff, dtype=jnp.float32),
             )
             stats = {k: float(v) for k, v in jax.device_get(stats).items()}
             # Scheduler cadence mirrors ``_feedforward.py:599-600``.
@@ -982,13 +1081,22 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 count = self.hparams.num_envs * (self._horizons_host + i + 1)
                 self.lr_scheduler.step(count)
                 self.entropy_scheduler.step(count)
-            self.state, stats = self._train_fn(
+            use_entropy = not self._static_zero_entropy
+            cfg_def = jax.tree_util.tree_structure(env_config)
+            fn = self._get_fn(
+                ("train", num_steps, use_entropy, cfg_def),
+                lambda: self._wrap_fn(
+                    lambda state, lrs, ents, cfg: self._train_impl(
+                        state, lrs, ents, cfg, num_steps, use_entropy
+                    ),
+                    (jnp.zeros(num_steps), jnp.zeros(num_steps), env_config),
+                ),
+            )
+            self.state, stats = fn(
                 self.state,
                 jnp.asarray(lrs, dtype=jnp.float32),
                 jnp.asarray(ents, dtype=jnp.float32),
                 env_config,
-                num_steps=num_steps,
-                use_entropy=not self._static_zero_entropy,
             )
             stats = jax.device_get(stats)
         self._horizons_host += num_steps

@@ -27,6 +27,12 @@ __all__ = [
     "initialize_multihost",
     "shard_state",
     "shard_batch",
+    "state_pspecs",
+    "gmean",
+    "gstd",
+    "gmin",
+    "gmax",
+    "pmean_tree",
     "ENV_AXIS",
 ]
 
@@ -106,3 +112,66 @@ def shard_state(state: Any, mesh: Mesh, num_envs: int, *, axis_name: str = ENV_A
         buffered=jax.device_put(state.buffered, replicated),
         reward_scale=jax.device_put(state.reward_scale, replicated),
     )
+
+
+# ----------------------------------------------------------------------
+# Axis-aware global reductions (shard_map path)
+# ----------------------------------------------------------------------
+#
+# Inside ``shard_map`` each device sees only its env shard, so batch
+# statistics that the reference computes globally (advantage
+# normalization ``nn/functional.py:118-122``, reward scale
+# ``algorithms/_feedforward.py:428-436``, return stats) must reduce over
+# the mesh axis to preserve semantics (SURVEY.md section 7 "multi-host
+# determinism"). With ``axis_name=None`` these are plain local
+# reductions, so single-device and sharded code share one implementation.
+
+
+def gmean(x: Any, axis_name: str | None = None) -> jax.Array:
+    """Mean over all elements, globally across the mesh axis (shards are
+    equal-sized, so the mean of local means is exact)."""
+    m = jnp.mean(x)
+    return jax.lax.pmean(m, axis_name) if axis_name else m
+
+
+def gstd(x: Any, axis_name: str | None = None) -> jax.Array:
+    """Population standard deviation over all elements, globally."""
+    if axis_name is None:
+        return jnp.std(x)
+    m = jax.lax.pmean(jnp.mean(x), axis_name)
+    m2 = jax.lax.pmean(jnp.mean(jnp.square(x)), axis_name)
+    return jnp.sqrt(jnp.maximum(m2 - jnp.square(m), 0.0))
+
+
+def gmin(x: Any, axis_name: str | None = None) -> jax.Array:
+    m = jnp.min(x)
+    return jax.lax.pmin(m, axis_name) if axis_name else m
+
+
+def gmax(x: Any, axis_name: str | None = None) -> jax.Array:
+    m = jnp.max(x)
+    return jax.lax.pmax(m, axis_name) if axis_name else m
+
+
+def pmean_tree(tree: Any, axis_name: str | None = None) -> Any:
+    """``lax.pmean`` every leaf (identity when unsharded)."""
+    if axis_name is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, axis_name), tree
+    )
+
+
+def state_pspecs(tree: Any, num_envs: int, *, axis_name: str = ENV_AXIS) -> Any:
+    """PartitionSpec pytree matching :func:`shard_state`'s placement:
+    env-batched leaves along the env axis, everything else replicated."""
+
+    def leaf_spec(leaf: Any) -> PartitionSpec:
+        shape = jnp.shape(leaf)
+        if len(shape) >= 1 and shape[0] == num_envs:
+            return PartitionSpec(axis_name)
+        if len(shape) >= 2 and shape[1] == num_envs:
+            return PartitionSpec(None, axis_name)
+        return PartitionSpec()
+
+    return jax.tree_util.tree_map(leaf_spec, tree)

@@ -39,8 +39,8 @@ def test_sharded_state_placement() -> None:
 
 
 def test_sharded_training_matches_single_device() -> None:
-    """The sharded train step computes the same math as the single-device
-    one (global reductions preserved under GSPMD)."""
+    """GSPMD exact mode computes bit-equal math to single-device
+    execution (global program, global reductions)."""
     kwargs = dict(
         num_envs=NUM_ENVS,
         horizon=HORIZON,
@@ -52,7 +52,9 @@ def test_sharded_training_matches_single_device() -> None:
     single.collect()
     stats_single = single.step()
 
-    sharded = AlgorithmConfig(**kwargs, mesh=create_mesh()).build(DiscreteDummyEnv)
+    sharded = AlgorithmConfig(
+        **kwargs, mesh=create_mesh(), exact_sharding=True
+    ).build(DiscreteDummyEnv)
     sharded.collect()
     stats_sharded = sharded.step()
 
@@ -110,3 +112,66 @@ def test_shard_state_helper_specs() -> None:
     rewards = state.buffer[DataKeys.REWARDS]
     spec = rewards.sharding.spec
     assert spec[1] == ENV_AXIS
+
+
+def test_shard_map_training_statistically_consistent() -> None:
+    """The default shard_map mode uses per-shard RNG streams (rollouts
+    differ bit-wise from single-device at equal seeds) but preserves
+    GLOBAL semantics: stats reduce over all shards, params stay
+    replicated, gradients average, and the policy learns."""
+    mesh = create_mesh()
+    algo = AlgorithmConfig(
+        num_envs=128,
+        horizon=16,
+        seed=1,
+        model_config={"hiddens": (32, 32)},
+        entropy_coeff=0.01,
+        mesh=mesh,
+    ).build(DiscreteDummyEnv)
+    assert algo._axis is not None  # shard_map mode
+    first = None
+    for _ in range(20):
+        stats = algo.collect(env_config={"bounds": 10.0})
+        if first is None:
+            first = stats["returns/mean"]
+        step_stats = algo.step()
+    assert stats["returns/mean"] > first
+    assert stats["returns/min"] <= stats["returns/mean"] <= stats["returns/max"]
+    assert "losses/total" in step_stats
+    # Params remain replicated (every shard applied identical updates).
+    leaf = jax.tree_util.tree_leaves(algo.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    shards = [np.asarray(x.data) for x in leaf.addressable_shards]
+    for other in shards[1:]:
+        np.testing.assert_array_equal(shards[0], other)
+
+
+def test_shard_map_fused_train_steps() -> None:
+    """The fused multi-step train path works under shard_map too."""
+    mesh = create_mesh()
+    algo = AlgorithmConfig(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        model_config={"hiddens": (8,)},
+        mesh=mesh,
+    ).build(DiscreteDummyEnv)
+    records = algo.train_steps(3)
+    assert len(records) == 3
+    assert all("losses/total" in r for r in records)
+
+
+def test_shard_map_global_stat_reductions() -> None:
+    """Collect stats are global: an 8-shard run's return stats must span
+    the full batch, not one shard (min <= mean <= max with a nonzero
+    spread for random policies)."""
+    mesh = create_mesh()
+    algo = AlgorithmConfig(
+        num_envs=64,
+        horizon=8,
+        seed=0,
+        model_config={"hiddens": (8,)},
+        mesh=mesh,
+    ).build(DiscreteDummyEnv)
+    stats = algo.collect(env_config={"bounds": 10.0})
+    assert stats["returns/min"] < stats["returns/max"]
+    assert stats["returns/std"] > 0.0
