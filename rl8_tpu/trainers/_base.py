@@ -134,6 +134,8 @@ class GenericTrainerBase(Generic[_Algorithm]):
         steps_per_eval: None | int = None,
         stop_conditions: None | list[Condition] = None,
         fused_steps: None | int = None,
+        steps_per_checkpoint: None | int = None,
+        checkpoint_dir: Any = None,
     ) -> TrainStats:
         """Train until any stop condition is satisfied
         (``trainers/_base.py:104-174``). Runs indefinitely without stop
@@ -145,6 +147,10 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 ``env_config``.
             steps_per_eval: Trainer steps between evals.
             stop_conditions: Any one evaluating ``True`` stops training.
+            steps_per_checkpoint: Trainer steps between full-state
+                checkpoints (requires ``checkpoint_dir``); restart with
+                :meth:`restore_checkpoint` after a preemption.
+            checkpoint_dir: Directory for periodic checkpoints.
 
         Returns:
             The most recent train stats when training stops.
@@ -183,27 +189,62 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 "`fused_steps` must be a factor of `steps_per_eval` so"
                 " evaluations land between fused batches."
             )
+        if steps_per_checkpoint and not checkpoint_dir:
+            raise ValueError(
+                "`steps_per_checkpoint` requires a `checkpoint_dir`."
+            )
         eval_env_config = eval_env_config or env_config
         stop_conditions = stop_conditions or []
+
+        def _maybe_checkpoint() -> None:
+            if (
+                steps_per_checkpoint
+                and checkpoint_dir
+                and not (self.state["algorithm/steps"] % steps_per_checkpoint)
+            ):
+                self.save_checkpoint(checkpoint_dir)
+
         if fused_steps and fused_steps > 1:
             while True:
                 for train_stats in self.step_fused(
                     fused_steps, env_config=env_config
                 ):
                     if any(c(train_stats) for c in stop_conditions):
+                        _maybe_checkpoint()
                         return train_stats
+                _maybe_checkpoint()
                 if steps_per_eval and not (
                     self.state["algorithm/steps"] % steps_per_eval
                 ):
                     self.eval(env_config=eval_env_config)
         train_stats = self.step(env_config=env_config)
+        _maybe_checkpoint()
         while not any(condition(train_stats) for condition in stop_conditions):
             if steps_per_eval and not (
                 self.state["algorithm/steps"] % steps_per_eval
             ):
                 self.eval(env_config=eval_env_config)
             train_stats = self.step(env_config=env_config)
+            _maybe_checkpoint()
         return train_stats
+
+    def save_checkpoint(self, directory: Any, /) -> None:
+        """Persist the full training state (algorithm + trainer counters)
+        for preemption-safe restarts — a capability the reference lacks
+        entirely (its only persistence is the terminal policy export,
+        ``/root/reference/src/rl8/policies/_feedforward.py:178-190``)."""
+        from ..checkpoint import save_checkpoint
+
+        save_checkpoint(directory, self.algorithm, trainer_state=dict(self.state))
+
+    def restore_checkpoint(self, directory: Any, /) -> None:
+        """Restore algorithm state and trainer counters saved by
+        :meth:`save_checkpoint`; training continues where it left off."""
+        from ..checkpoint import restore_checkpoint
+
+        trainer_state = restore_checkpoint(directory, self.algorithm)
+        for k, v in trainer_state.items():
+            self.state[k] = v  # type: ignore[literal-required]
 
     def step(self, *, env_config: None | dict[str, Any] = None) -> TrainStats:
         """One training step: collect + update + log

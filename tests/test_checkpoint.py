@@ -2,6 +2,7 @@
 SURVEY.md section 5)."""
 
 import jax
+import pytest
 import numpy as np
 
 from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
@@ -55,3 +56,45 @@ def test_recurrent_checkpoint_round_trip(tmp_path) -> None:
     restore_checkpoint(tmp_path / "ckpt", algo_b)
     assert int(algo_b.state.horizons) == 1
     assert int(algo_b.state.seqs) == int(algo.state.seqs)
+
+
+def test_trainer_periodic_checkpoint_and_resume(tmp_path) -> None:
+    """Trainer.run checkpoints every `steps_per_checkpoint`; a freshly
+    constructed trainer restores and continues with identical state."""
+    from rl8_tpu import AlgorithmConfig, Trainer
+    from rl8_tpu.conditions import HitsUpperBound
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    def make():
+        algo = AlgorithmConfig(
+            num_envs=16, horizon=4, model_config={"hiddens": (8,)}, seed=7
+        ).build(DiscreteDummyEnv)
+        return Trainer(algo)
+
+    trainer = make()
+    trainer.run(
+        stop_conditions=[HitsUpperBound("algorithm/steps", 4)],
+        steps_per_checkpoint=2,
+        checkpoint_dir=tmp_path / "ckpt",
+    )
+    assert trainer.state["algorithm/steps"] == 4
+
+    resumed = make()
+    resumed.restore_checkpoint(tmp_path / "ckpt")
+    assert resumed.state["algorithm/steps"] == 4
+    assert resumed.state["env/steps"] == trainer.state["env/steps"]
+    # Continued training proceeds from the restored counters and state.
+    stats = resumed.run(stop_conditions=[HitsUpperBound("algorithm/steps", 6)])
+    assert resumed.state["algorithm/steps"] == 6
+    assert "losses/total" in stats
+
+
+def test_trainer_checkpoint_requires_dir() -> None:
+    from rl8_tpu import AlgorithmConfig, Trainer
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    algo = AlgorithmConfig(
+        num_envs=16, horizon=4, model_config={"hiddens": (8,)}
+    ).build(DiscreteDummyEnv)
+    with pytest.raises(ValueError):
+        Trainer(algo).run(steps_per_checkpoint=2)
