@@ -359,22 +359,22 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         )
         #: Fully-fused PPO update kernel (see ``ops/fused_ppo.py``):
         #: forward + losses + backward in one Pallas kernel per minibatch.
+        from ..distributions import SquashedNormal
+
+        #: Whether the action distribution squashes through tanh (the
+        #: fused kernels need the logp/sampling variant).
+        self._squashed_dist = self.policy.distribution_cls is SquashedNormal
+        fused_update_ok = supports_fused_update(
+            self.policy.model,
+            self.policy.distribution_cls,
+            zero_entropy=self._static_zero_entropy,
+        )
         self._fused_update = (
-            config.fused_update
-            and not sharded_exact
-            and on_tpu
-            and supports_fused_update(
-                self.policy.model, self.policy.distribution_cls
-            )
+            config.fused_update and not sharded_exact and on_tpu and fused_update_ok
         )
         #: Fused rollout sampling kernel (see ``ops/fused_act.py``).
         self._fused_act = (
-            config.fused_act
-            and not sharded_exact
-            and on_tpu
-            and supports_fused_update(
-                self.policy.model, self.policy.distribution_cls
-            )
+            config.fused_act and not sharded_exact and on_tpu and fused_update_ok
         )
         #: Lazily-built jitted (and, when sharded, shard_mapped) entry
         #: points, keyed by static args + operand tree structure.
@@ -564,6 +564,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 actions, logp, values = fused_act(
                     model, state.params, in_batch, key,
                     deterministic=deterministic,
+                    squashed=self._squashed_dist,
                 )
             else:
                 features, values = self._apply_model(state.params, in_batch)
@@ -829,6 +830,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 n_rows=mb_rows,
                 accum=accum,
                 use_entropy=use_entropy,
+                squashed=self._squashed_dist,
             )
 
         def _minibatch(carry: dict[str, Any], xs: Any) -> tuple[dict[str, Any], None]:

@@ -90,7 +90,7 @@ def _discrete_act_kernel(
 
 
 def _continuous_act_kernel(
-    sizes, activation, n_params, action_dim, deterministic,
+    sizes, activation, n_params, action_dim, deterministic, squashed,
     seed_ref, x_ref, *refs,
 ):
     params = refs[:n_params]
@@ -112,10 +112,26 @@ def _continuous_act_kernel(
         u2 = _uniform((tile, action_dim))
         noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
         actions = mean + std * noise
-    diff = actions - mean
     inv_var = jnp.exp(-2.0 * log_std)
-    per_dim = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
-    logp_ref[:] = jnp.sum(per_dim, axis=1, keepdims=True)
+    if squashed:
+        # SquashedNormal: squash through tanh, evaluate the logp of the
+        # squashed action via clamped atanh (``distributions.py:147-170``)
+        # so stored log-probs match ``SquashedNormal.logp(actions)``.
+        eps = 1.1920929e-07
+        actions = jnp.tanh(actions)
+        clipped = jnp.clip(actions, -1.0 + eps, 1.0 - eps)
+        u = 0.5 * (jnp.log1p(clipped) - jnp.log1p(-clipped))
+        diff = u - mean
+        per_dim = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
+        logp_ref[:] = jnp.sum(
+            jnp.clip(per_dim, -100.0, 100.0), axis=1, keepdims=True
+        ) - jnp.sum(
+            jnp.log(1.0 - actions * actions + eps), axis=1, keepdims=True
+        )
+    else:
+        diff = actions - mean
+        per_dim = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
+        logp_ref[:] = jnp.sum(per_dim, axis=1, keepdims=True)
     actions_ref[:] = actions
 
 
@@ -126,6 +142,7 @@ def fused_act(
     key: jax.Array,
     *,
     deterministic: bool = False,
+    squashed: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sample actions, their log-probs, and values for one rollout step
@@ -164,7 +181,7 @@ def fused_act(
     else:
         kernel = functools.partial(
             _continuous_act_kernel, _chain_sizes(chains), model.activation_fn,
-            len(flat), action_dim, deterministic,
+            len(flat), action_dim, deterministic, squashed,
         )
         action_dtype = jnp.float32
 

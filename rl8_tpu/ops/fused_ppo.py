@@ -60,12 +60,19 @@ class PPOLossConfig:
     n_rows: int  # logical minibatch rows
     accum: int  # gradient-accumulation divisor for the total loss
     use_entropy: bool
+    #: Squash continuous actions through tanh (SquashedNormal): log-probs
+    #: invert via clamped atanh with the +-100 logp clamp
+    #: (``distributions.py:147-170``). Requires ``use_entropy=False``.
+    squashed: bool = False
 
 
-def supports_fused_update(model: Any, distribution_cls: Any) -> bool:
+def supports_fused_update(
+    model: Any, distribution_cls: Any, *, zero_entropy: bool = False
+) -> bool:
     """Whether the fully-fused update kernel can evaluate this
-    model/distribution pair."""
-    from ..distributions import Categorical, Normal
+    model/distribution pair. SquashedNormal has no defined entropy, so it
+    is supported only when the entropy bonus is statically absent."""
+    from ..distributions import Categorical, Normal, SquashedNormal
     from ..models import DefaultContinuousModel, DefaultDiscreteModel
     from .fused_mlp import supports_fused_apply
 
@@ -74,7 +81,9 @@ def supports_fused_update(model: Any, distribution_cls: Any) -> bool:
     if type(model) is DefaultDiscreteModel:
         return distribution_cls is Categorical
     if type(model) is DefaultContinuousModel:
-        return distribution_cls is Normal
+        if distribution_cls is Normal:
+            return True
+        return distribution_cls is SquashedNormal and zero_entropy
     return False
 
 
@@ -274,11 +283,30 @@ def _continuous_kernel(
     values = all_outs[1][0]
     log_std = jnp.tanh(pre_log_std)
     inv_var = jnp.exp(-2.0 * log_std)
-    diff = actions - mean
 
-    # Normal logp summed over action dims (``distributions.py:137-146``).
-    per_dim_logp = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
-    new_logp = jnp.sum(per_dim_logp, axis=1, keepdims=True)
+    if cfg.squashed:
+        # SquashedNormal logp (``distributions.py:147-170``): invert the
+        # tanh with clamped atanh, clamp per-dim base logp to +-100 (the
+        # clamp also gates the gradient), subtract the log-det term.
+        eps = 1.1920929e-07
+        clipped = jnp.clip(actions, -1.0 + eps, 1.0 - eps)
+        u = 0.5 * (jnp.log1p(clipped) - jnp.log1p(-clipped))
+        diff = u - mean
+        per_dim = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
+        grad_gate = ((per_dim > -100.0) & (per_dim < 100.0)).astype(
+            jnp.float32
+        )
+        new_logp = jnp.sum(
+            jnp.clip(per_dim, -100.0, 100.0), axis=1, keepdims=True
+        ) - jnp.sum(
+            jnp.log(1.0 - actions * actions + eps), axis=1, keepdims=True
+        )
+    else:
+        diff = actions - mean
+        grad_gate = None
+        # Normal logp summed over action dims (``distributions.py:137-146``).
+        per_dim_logp = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
+        new_logp = jnp.sum(per_dim_logp, axis=1, keepdims=True)
 
     scale = 1.0 / (cfg.n_rows * cfg.accum)
     ec = ec_ref[0, 0]
@@ -290,6 +318,9 @@ def _continuous_kernel(
     # d new_logp/d mean = diff * inv_var; d/d log_std = diff^2*inv_var - 1.
     dmean = u_pol * (diff * inv_var)
     dlog_std = u_pol * (diff * diff * inv_var - 1.0)
+    if grad_gate is not None:
+        dmean = dmean * grad_gate
+        dlog_std = dlog_std * grad_gate
     if cfg.use_entropy:
         # H = sum(0.5 (1 + log 2pi) + log_std); total has -ec*mean(H).
         ent_rows = jnp.sum(
@@ -374,6 +405,11 @@ def fused_ppo_grads(
     """
     from ..models import DefaultContinuousModel, DefaultDiscreteModel
 
+    if cfg.squashed and cfg.use_entropy:
+        raise ValueError(
+            "SquashedNormal has no defined entropy; the fused update"
+            " requires a statically-zero entropy coefficient."
+        )
     idx = _leaf_index_tree(unpacker)
     metas = unpacker.metas
 

@@ -243,6 +243,7 @@ def test_supports_fused_apply_gating() -> None:
         ("discrete", True, 3.0),
         ("continuous", False, None),
         ("continuous", True, 3.0),
+        ("squashed", False, 2.0),
     ],
 )
 def test_fused_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
@@ -263,6 +264,12 @@ def test_fused_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
         )
         dist_cls = Categorical
         actions = jax.random.randint(jax.random.key(7), (N, 2), 0, 4)
+    elif kind == "squashed":
+        from rl8_tpu.distributions import SquashedNormal
+
+        model = DefaultContinuousModel(Unbounded(4), Unbounded(2), hiddens=(24, 24))
+        dist_cls = SquashedNormal
+        actions = jnp.tanh(jax.random.normal(jax.random.key(8), (N, 2)))
     else:
         model = DefaultContinuousModel(Unbounded(4), Unbounded(2), hiddens=(24, 24))
         dist_cls = Normal
@@ -286,6 +293,7 @@ def test_fused_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
     cfg = PPOLossConfig(
         clip_param=0.2, vf_clip_param=1.5, vf_coeff=0.9,
         dual_clip_param=dual, n_rows=N, accum=accum, use_entropy=use_entropy,
+        squashed=(kind == "squashed"),
     )
 
     def loss_fn(p):
@@ -325,7 +333,9 @@ def test_supports_fused_update_gating() -> None:
     assert supports_fused_update(disc, Categorical)
     assert not supports_fused_update(disc, Normal)
     assert supports_fused_update(cont, Normal)
+    # SquashedNormal has no entropy: fused only with a zero entropy bonus.
     assert not supports_fused_update(cont, SquashedNormal)
+    assert supports_fused_update(cont, SquashedNormal, zero_entropy=True)
     assert not supports_fused_update(cont, Categorical)
 
 
