@@ -312,33 +312,10 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             buffered=jnp.asarray(False),
             reward_scale=jnp.asarray(1.0, dtype=jnp.float32),
         )
-        self.mesh = config.mesh
-        #: Mesh axis the impls reduce over (``None`` = single device or
-        #: GSPMD exact mode, where reductions are already global).
-        self._axis: None | str = None
-        #: Env instance and env-batch size AS SEEN BY THE JITTED IMPLS:
-        #: per-shard under ``shard_map``, global otherwise.
-        self._impl_env = self.env
-        self._impl_B = num_envs
-        if self.mesh is not None:
-            from ..parallel import ENV_AXIS, shard_state
-
-            self.state = shard_state(self.state, self.mesh, num_envs)
-            if not config.exact_sharding:
-                n_shards = self.mesh.size
-                if num_envs % n_shards:
-                    raise ValueError(
-                        f"`num_envs` ({num_envs}) must divide evenly over"
-                        f" the mesh's {n_shards} devices."
-                    )
-                if sgd_minibatch_size % n_shards:
-                    raise ValueError(
-                        f"`sgd_minibatch_size` ({sgd_minibatch_size}) must"
-                        f" divide evenly over the mesh's {n_shards} devices."
-                    )
-                self._axis = ENV_AXIS
-                self._impl_B = num_envs // n_shards
-                self._impl_env = env_cls(self._impl_B, horizon)
+        self._init_sharding(
+            env_cls, config.mesh, config.exact_sharding,
+            num_envs, horizon, sgd_minibatch_size,
+        )
         sharded_exact = self.mesh is not None and self._axis is None
         #: Host mirror of ``state.horizons`` for scheduler stepping.
         self._horizons_host = 0
@@ -379,37 +356,6 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         #: Lazily-built jitted (and, when sharded, shard_mapped) entry
         #: points, keyed by static args + operand tree structure.
         self._fn_cache: dict[Any, Any] = {}
-
-    # ------------------------------------------------------------------
-    # Jitted entry-point construction
-    # ------------------------------------------------------------------
-
-    def _wrap_fn(self, impl: Callable[..., Any], operand_tpls: tuple[Any, ...]) -> Any:
-        """Jit ``impl`` (donating the state), wrapping it in ``shard_map``
-        over the mesh when sharded: the state pytree shards per
-        :func:`rl8_tpu.parallel.state_pspecs`, all other operands and all
-        stat outputs are replicated."""
-        if self._axis is None:
-            return jax.jit(impl, donate_argnums=(0,))
-        from jax.sharding import PartitionSpec as P
-
-        from ..parallel import state_pspecs
-
-        state_specs = state_pspecs(self.state, self.hparams.num_envs)
-        rep = lambda tpl: jax.tree_util.tree_map(lambda _: P(), tpl)
-        fn = jax.shard_map(
-            impl,
-            mesh=self.mesh,
-            in_specs=(state_specs, *(rep(t) for t in operand_tpls)),
-            out_specs=(state_specs, P()),
-            check_vma=False,
-        )
-        return jax.jit(fn, donate_argnums=(0,))
-
-    def _get_fn(self, key: Any, build: Callable[[], Any]) -> Any:
-        if key not in self._fn_cache:
-            self._fn_cache[key] = build()
-        return self._fn_cache[key]
 
     # ------------------------------------------------------------------
     # Model application

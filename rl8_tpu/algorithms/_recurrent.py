@@ -86,6 +86,8 @@ class RecurrentAlgorithmConfig:
     flatten_optimizer: bool = True
     seed: int = 0
     mesh: Any = None
+    #: See :class:`rl8_tpu.algorithms.AlgorithmConfig.exact_sharding`.
+    exact_sharding: bool = False
 
     def build(self, env_cls: EnvFactory) -> "RecurrentAlgorithm":
         """Build and validate a :class:`RecurrentAlgorithm`."""
@@ -218,29 +220,16 @@ class RecurrentAlgorithm(
             reward_scale=jnp.asarray(1.0, dtype=jnp.float32),
             seqs=jnp.asarray(0, dtype=jnp.int32),
         )
-        self.mesh = config.mesh
-        if self.mesh is not None:
-            from ..parallel import shard_state
-
-            self.state = shard_state(self.state, self.mesh, num_envs)
+        self._init_sharding(
+            env_cls, config.mesh, config.exact_sharding,
+            num_envs, horizon, sgd_minibatch_size,
+        )
+        sharded_exact = self.mesh is not None and self._axis is None
         self._horizons_host = 0
-        # The fused Pallas GAE kernel beats the XLA scan on TPU; sharded
-        # runs keep the scan (pallas_call doesn't auto-partition).
+        # The fused Pallas GAE kernel runs per shard under shard_map but
+        # can't be auto-partitioned by GSPMD exact mode.
         self._use_pallas_gae = (
-            config.mesh is None and jax.local_devices()[0].platform == "tpu"
-        )
-        self._collect_fn = jax.jit(
-            self._collect_impl, static_argnames=("deterministic",), donate_argnums=(0,)
-        )
-        self._step_fn = jax.jit(
-            self._step_impl,
-            static_argnames=("use_entropy",),
-            donate_argnums=(0,),
-        )
-        self._train_fn = jax.jit(
-            self._train_impl,
-            static_argnames=("num_steps", "use_entropy"),
-            donate_argnums=(0,),
+            not sharded_exact and jax.local_devices()[0].platform == "tpu"
         )
 
     def _zero_buffer(self) -> dict[str, Any]:
@@ -274,15 +263,20 @@ class RecurrentAlgorithm(
     ) -> tuple[RecurrentAlgorithmState, dict[str, jax.Array]]:
         """One fully-jitted recurrent rollout (``_recurrent.py:325-479``)."""
         h = self.hparams
-        B, T = h.num_envs, h.horizon
+        B, T = self._impl_B, h.horizon  # B is per-shard under shard_map
+        env = self._impl_env
         model = self.policy.model
         dist_cls = self.policy.distribution_cls
         buffer = state.buffer
 
         rng, reset_key, scan_key = jax.random.split(state.rng, 3)
+        if self._axis is not None:
+            shard = jax.lax.axis_index(self._axis)
+            reset_key = jax.random.fold_in(reset_key, shard)
+            scan_key = jax.random.fold_in(scan_key, shard)
 
         def _do_reset(_: None) -> tuple[Any, Any, jax.Array, jax.Array]:
-            env_state, obs0 = self.env.reset(
+            env_state, obs0 = env.reset(
                 reset_key, state=state.env_state, config=env_config
             )
             return env_state, obs0, jnp.zeros((B, 1)), jnp.asarray(True)
@@ -336,7 +330,7 @@ class RecurrentAlgorithm(
             else:
                 actions = dist.sample(key)
             logp = dist.logp(actions)
-            env_state, obs_next, rewards = self.env.step(env_state, actions)
+            env_state, obs_next, rewards = env.step(env_state, actions)
             rev_next = h.gamma * rev + rewards if h.normalize_rewards else rev
             seqs = seqs + (((t + 1) % h.seq_len) == 0).astype(jnp.int32)
             return (
@@ -381,23 +375,25 @@ class RecurrentAlgorithm(
             DataKeys.LOGP: logp,
             DataKeys.VALUES: values_full,
         }
+        from ..parallel import gmax, gmean, gmin, gstd
+
         if h.normalize_rewards:
             rev_full = jnp.concatenate([rev0[None], rev_rest], axis=0)
             new_buffer[DataKeys.REVERSED_DISCOUNTED_RETURNS] = rev_full
-            reward_scale = jnp.std(rev_full[1:])
+            reward_scale = gstd(rev_full[1:], self._axis)
         else:
             reward_scale = jnp.asarray(1.0, dtype=jnp.float32)
 
         returns = jnp.sum(rewards, axis=0)
         stats = {
-            "returns/min": jnp.min(returns),
-            "returns/max": jnp.max(returns),
-            "returns/mean": jnp.mean(returns),
-            "returns/std": jnp.std(returns),
-            "rewards/min": jnp.min(rewards),
-            "rewards/max": jnp.max(rewards),
-            "rewards/mean": jnp.mean(rewards),
-            "rewards/std": jnp.std(rewards),
+            "returns/min": gmin(returns, self._axis),
+            "returns/max": gmax(returns, self._axis),
+            "returns/mean": gmean(returns, self._axis),
+            "returns/std": gstd(returns, self._axis),
+            "rewards/min": gmin(rewards, self._axis),
+            "rewards/max": gmax(rewards, self._axis),
+            "rewards/mean": gmean(rewards, self._axis),
+            "rewards/std": gstd(rewards, self._axis),
             "env/was_reset": was_reset,
         }
         new_state = state.replace(
@@ -420,9 +416,15 @@ class RecurrentAlgorithm(
         """Collect transitions, threading recurrent states
         (``/root/reference/src/rl8/algorithms/_recurrent.py:325-479``)."""
         with profile_ms() as collect_timer:
-            self.state, stats = self._collect_fn(
-                self.state, env_config, deterministic
+            cfg_def = jax.tree_util.tree_structure(env_config)
+            fn = self._get_fn(
+                ("collect", deterministic, cfg_def),
+                lambda: self._wrap_fn(
+                    lambda state, cfg: self._collect_impl(state, cfg, deterministic),
+                    (env_config,),
+                ),
             )
+            self.state, stats = fn(self.state, env_config)
             stats = jax.device_get(stats)
         self._horizons_host += 1
         collect_stats: CollectStats = {
@@ -449,9 +451,10 @@ class RecurrentAlgorithm(
         """One fully-jitted recurrent PPO update
         (``_recurrent.py:481-652``)."""
         h = self.hparams
-        B, T, L = h.num_envs, h.horizon, h.seq_len
+        B, T, L = self._impl_B, h.horizon, h.seq_len
         N = B * (T // L)
         M = h.num_minibatches
+        mb_rows = N // M  # per-shard minibatch sequences
         E = h.num_sgd_iters
         accum = M if h.accumulate_grads else 1
         model = self.policy.model
@@ -469,19 +472,21 @@ class RecurrentAlgorithm(
                 gamma=h.gamma,
                 gae_lambda=h.gae_lambda,
             )
-            if h.normalize_advantages:
-                advantages = (advantages - jnp.mean(advantages)) / (
-                    jnp.std(advantages) + 1e-8
-                )
         else:
             advantages, returns = generalized_advantage_estimate(
                 buffer[DataKeys.REWARDS],
                 buffer[DataKeys.VALUES],
                 gae_lambda=h.gae_lambda,
                 gamma=h.gamma,
-                normalize_advantages=h.normalize_advantages,
+                normalize_advantages=False,
                 return_returns=True,
                 reward_scale=state.reward_scale,
+            )
+        if h.normalize_advantages:
+            from ..parallel import gmean, gstd
+
+            advantages = (advantages - gmean(advantages, self._axis)) / (
+                gstd(advantages, self._axis) + 1e-8
             )
 
         # Sequence minibatching (``_recurrent.py:518``): each batch element
@@ -511,6 +516,10 @@ class RecurrentAlgorithm(
         packed, unpack = pack_rows(flat)
         D = packed.shape[1]
         rng, perm_key = jax.random.split(state.rng)
+        if self._axis is not None:
+            perm_key = jax.random.fold_in(
+                perm_key, jax.lax.axis_index(self._axis)
+            )
         epoch_keys = jax.random.split(perm_key, E)
         apply_flags = ((jnp.arange(M) + 1) % accum) == 0
 
@@ -571,6 +580,12 @@ class RecurrentAlgorithm(
             def _process(carry: dict[str, Any]) -> dict[str, Any]:
                 mb = unpack(mb_packed)
                 (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
+                if self._axis is not None:
+                    from ..parallel import pmean_tree
+
+                    losses, kl, grads = pmean_tree(
+                        (losses, kl, grads), self._axis
+                    )
                 trigger = (
                     kl > 1.5 * h.target_kl_div
                     if h.target_kl_div is not None
@@ -652,7 +667,7 @@ class RecurrentAlgorithm(
                     shuffled = jnp.take(packed, perm, axis=0)
                 else:
                     shuffled = packed
-                mbs = shuffled.reshape(M, h.sgd_minibatch_size, D)
+                mbs = shuffled.reshape(M, mb_rows, D)
                 carry, _ = jax.lax.scan(_minibatch, carry, (mbs, apply_flags))
                 return carry
 
@@ -700,11 +715,18 @@ class RecurrentAlgorithm(
             entropy_coeff = (
                 0.0 if self._static_zero_entropy else self.entropy_scheduler.coeff
             )
-            self.state, stats = self._step_fn(
+            use_entropy = not self._static_zero_entropy
+            fn = self._get_fn(
+                ("step", use_entropy),
+                lambda: self._wrap_fn(
+                    lambda state, lr, ec: self._step_impl(state, lr, ec, use_entropy),
+                    (0.0, 0.0),
+                ),
+            )
+            self.state, stats = fn(
                 self.state,
                 self.lr_scheduler.coeff,
-                entropy_coeff,
-                use_entropy=not self._static_zero_entropy,
+                jnp.asarray(entropy_coeff, dtype=jnp.float32),
             )
             stats = {k: float(v) for k, v in jax.device_get(stats).items()}
             count = self.hparams.num_envs * self._horizons_host
@@ -766,13 +788,22 @@ class RecurrentAlgorithm(
                 count = self.hparams.num_envs * (self._horizons_host + i + 1)
                 self.lr_scheduler.step(count)
                 self.entropy_scheduler.step(count)
-            self.state, stats = self._train_fn(
+            use_entropy = not self._static_zero_entropy
+            cfg_def = jax.tree_util.tree_structure(env_config)
+            fn = self._get_fn(
+                ("train", num_steps, use_entropy, cfg_def),
+                lambda: self._wrap_fn(
+                    lambda state, lrs, ents, cfg: self._train_impl(
+                        state, lrs, ents, cfg, num_steps, use_entropy
+                    ),
+                    (jnp.zeros(num_steps), jnp.zeros(num_steps), env_config),
+                ),
+            )
+            self.state, stats = fn(
                 self.state,
                 jnp.asarray(lrs, dtype=jnp.float32),
                 jnp.asarray(ents, dtype=jnp.float32),
                 env_config,
-                num_steps=num_steps,
-                use_entropy=not self._static_zero_entropy,
             )
             stats = jax.device_get(stats)
         self._horizons_host += num_steps

@@ -24,11 +24,27 @@ __all__ = ["TrainConfig"]
 
 def _import(name: str) -> Any:
     """Dynamically import a dotted-path definition
-    (``trainers/config.py:16-24``)."""
+    (``trainers/config.py:16-24``).
+
+    Imports the longest module prefix, then walks the remaining
+    components as attributes (so ``pkg.sub.module.Class`` works without
+    ``pkg`` eagerly importing its submodules).
+    """
+    import importlib
+
+    components = name.split(".")
     try:
-        components = name.split(".")
-        mod = __import__(components[0])
-        for comp in components[1:]:
+        mod: Any = None
+        split = len(components)
+        while split > 0:
+            try:
+                mod = importlib.import_module(".".join(components[:split]))
+                break
+            except ModuleNotFoundError:
+                split -= 1
+        if mod is None:
+            raise ModuleNotFoundError(name)
+        for comp in components[split:]:
             mod = getattr(mod, comp)
     except (AttributeError, ModuleNotFoundError, ValueError) as e:
         raise ImportError(f"Could not dynamically import {name}.") from e

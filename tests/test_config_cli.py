@@ -110,3 +110,31 @@ def test_cli_train_and_save(tmp_path) -> None:
     record = json.loads(metrics[-1])
     assert record["algorithm/steps"] == 2
     assert "losses/total" in record
+
+
+def test_import_reaches_unimported_submodules(tmp_path) -> None:
+    """Dotted paths into packages whose submodules aren't eagerly
+    imported must resolve (regression: `__import__` only loads the top
+    package)."""
+    import sys
+
+    from rl8_tpu.trainers.config import _import
+
+    pkg = tmp_path / "cfgpkg"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "sub" / "__init__.py").write_text("")
+    (pkg / "sub" / "mod.py").write_text("class Thing:\n    pass\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        for mod in list(sys.modules):
+            if mod.startswith("cfgpkg"):
+                del sys.modules[mod]
+        thing = _import("cfgpkg.sub.mod.Thing")
+        assert thing.__name__ == "Thing"
+        with pytest.raises(ImportError):
+            _import("cfgpkg.sub.mod.Missing")
+        with pytest.raises(ImportError):
+            _import("cfgpkg.nope.mod.Thing")
+    finally:
+        sys.path.remove(str(tmp_path))
