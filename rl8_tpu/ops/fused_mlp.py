@@ -38,9 +38,11 @@ _ACT_FNS = {
     "relu": lambda x: jnp.maximum(x, 0.0),
     "tanh": jnp.tanh,
 }
+# Derivatives compute in f32 (Mosaic lacks bf16 compares/ops for these)
+# even when the stored post-activations are bf16.
 _ACT_GRAD_FROM_OUT = {
-    "relu": lambda h: (h > 0.0).astype(h.dtype),
-    "tanh": lambda h: 1.0 - h * h,
+    "relu": lambda h: (h.astype(jnp.float32) > 0.0).astype(jnp.float32),
+    "tanh": lambda h: 1.0 - jnp.square(h.astype(jnp.float32)),
 }
 
 _LANES = 128
