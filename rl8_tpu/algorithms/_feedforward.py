@@ -124,14 +124,16 @@ class AlgorithmConfig:
     #: Off by default: XLA's fusion of the plain flax module currently
     #: matches these kernels, so they are opt-in until profiling says
     #: otherwise. Auto-disabled for custom models, unsupported
-    #: activations, or sharded meshes.
+    #: activations, or GSPMD exact-sharding mode (the default
+    #: shard_map mode keeps it available per shard).
     fused_forward: bool = False
     #: Compute each PPO minibatch's losses AND parameter gradients with
     #: ONE fused Pallas kernel (forward, distribution log-probs/entropy,
     #: dual-clip surrogate + clamped smooth-L1 value loss, hand-derived
     #: backward — all in VMEM; see ``ops/fused_ppo.py``). Matches the
     #: autodiff path to matmul (bf16-multiply) precision. Auto-disabled
-    #: for custom models/distributions or sharded meshes.
+    #: for custom models/distributions and in GSPMD exact-sharding mode
+    #: (the default shard_map mode runs it per shard).
     fused_update: bool = True
     #: Sample rollout actions/log-probs/values with ONE fused Pallas
     #: kernel per step (see ``ops/fused_act.py``). Uses the TPU hardware
@@ -353,9 +355,6 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         self._fused_act = (
             config.fused_act and not sharded_exact and on_tpu and fused_update_ok
         )
-        #: Lazily-built jitted (and, when sharded, shard_mapped) entry
-        #: points, keyed by static args + operand tree structure.
-        self._fn_cache: dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     # Model application

@@ -35,9 +35,10 @@ from .fused_mlp import (
     _row_tile,
 )
 
+from .distmath import normal_per_dim_logp, squashed_normal_logp
+
 __all__ = ["fused_act"]
 
-_LOG_2PI = 1.8378770664093453
 _TWO_PI = 6.283185307179586
 
 
@@ -63,7 +64,7 @@ def _discrete_act_kernel(
 ):
     params = refs[:n_params]
     actions_ref, logp_ref, values_ref = refs[n_params:]
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
 
     x = x_ref[:]
     tile = x.shape[0]
@@ -95,7 +96,7 @@ def _continuous_act_kernel(
 ):
     params = refs[:n_params]
     actions_ref, logp_ref, values_ref = refs[n_params:]
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
 
     x = x_ref[:]
     tile = x.shape[0]
@@ -114,24 +115,17 @@ def _continuous_act_kernel(
         actions = mean + std * noise
     inv_var = jnp.exp(-2.0 * log_std)
     if squashed:
-        # SquashedNormal: squash through tanh, evaluate the logp of the
-        # squashed action via clamped atanh (``distributions.py:147-170``)
-        # so stored log-probs match ``SquashedNormal.logp(actions)``.
-        eps = 1.1920929e-07
+        # SquashedNormal: squash through tanh and store the logp of the
+        # squashed action (shared in-kernel math: ``ops/distmath.py``) so
+        # stored log-probs match ``SquashedNormal.logp(actions)``.
         actions = jnp.tanh(actions)
-        clipped = jnp.clip(actions, -1.0 + eps, 1.0 - eps)
-        u = 0.5 * (jnp.log1p(clipped) - jnp.log1p(-clipped))
-        diff = u - mean
-        per_dim = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
-        logp_ref[:] = jnp.sum(
-            jnp.clip(per_dim, -100.0, 100.0), axis=1, keepdims=True
-        ) - jnp.sum(
-            jnp.log(1.0 - actions * actions + eps), axis=1, keepdims=True
-        )
+        logp, _, _ = squashed_normal_logp(actions, mean, log_std, inv_var)
+        logp_ref[:] = logp
     else:
         diff = actions - mean
-        per_dim = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
-        logp_ref[:] = jnp.sum(per_dim, axis=1, keepdims=True)
+        logp_ref[:] = jnp.sum(
+            normal_per_dim_logp(diff, log_std, inv_var), axis=1, keepdims=True
+        )
     actions_ref[:] = actions
 
 
@@ -188,10 +182,11 @@ def fused_act(
     b = obs.shape[0]
     tile = _row_tile(b)
     grid = (pl.cdiv(b, tile),)
-    # Derive a 32-bit seed from the JAX key; the kernel mixes in the grid
-    # position for per-tile independence.
+    # Feed the full JAX key material to the hardware PRNG (both 32-bit
+    # words — a single word would collide by birthday bound over long
+    # runs); the kernel further mixes in the grid position.
     kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
-    seed = (kd[0] ^ (kd[-1] * jnp.uint32(2654435761))).astype(jnp.int32)
+    seed = jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)
 
     param_specs = [
         pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -219,5 +214,5 @@ def fused_act(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seed.reshape(1), obs, *flat)
+    )(seed, obs, *flat)
     return actions, logp, values

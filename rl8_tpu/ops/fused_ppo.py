@@ -43,9 +43,9 @@ from .fused_mlp import (
     _row_tile,
 )
 
-__all__ = ["fused_ppo_grads", "supports_fused_update", "PPOLossConfig"]
+from .distmath import normal_per_dim_logp, squashed_normal_logp
 
-_LOG_2PI = 1.8378770664093453
+__all__ = ["fused_ppo_grads", "supports_fused_update", "PPOLossConfig"]
 
 
 @dataclass(frozen=True)
@@ -285,28 +285,17 @@ def _continuous_kernel(
     inv_var = jnp.exp(-2.0 * log_std)
 
     if cfg.squashed:
-        # SquashedNormal logp (``distributions.py:147-170``): invert the
-        # tanh with clamped atanh, clamp per-dim base logp to +-100 (the
-        # clamp also gates the gradient), subtract the log-det term.
-        eps = 1.1920929e-07
-        clipped = jnp.clip(actions, -1.0 + eps, 1.0 - eps)
-        u = 0.5 * (jnp.log1p(clipped) - jnp.log1p(-clipped))
-        diff = u - mean
-        per_dim = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
-        grad_gate = ((per_dim > -100.0) & (per_dim < 100.0)).astype(
-            jnp.float32
-        )
-        new_logp = jnp.sum(
-            jnp.clip(per_dim, -100.0, 100.0), axis=1, keepdims=True
-        ) - jnp.sum(
-            jnp.log(1.0 - actions * actions + eps), axis=1, keepdims=True
+        # SquashedNormal (shared in-kernel math: ``ops/distmath.py``);
+        # the +-100 clamp also gates the mean/log_std gradients.
+        new_logp, diff, grad_gate = squashed_normal_logp(
+            actions, mean, log_std, inv_var
         )
     else:
         diff = actions - mean
         grad_gate = None
-        # Normal logp summed over action dims (``distributions.py:137-146``).
-        per_dim_logp = -0.5 * diff * diff * inv_var - log_std - 0.5 * _LOG_2PI
-        new_logp = jnp.sum(per_dim_logp, axis=1, keepdims=True)
+        new_logp = jnp.sum(
+            normal_per_dim_logp(diff, log_std, inv_var), axis=1, keepdims=True
+        )
 
     scale = 1.0 / (cfg.n_rows * cfg.accum)
     ec = ec_ref[0, 0]
@@ -322,9 +311,11 @@ def _continuous_kernel(
         dmean = dmean * grad_gate
         dlog_std = dlog_std * grad_gate
     if cfg.use_entropy:
+        from .distmath import LOG_2PI
+
         # H = sum(0.5 (1 + log 2pi) + log_std); total has -ec*mean(H).
         ent_rows = jnp.sum(
-            0.5 * (1.0 + _LOG_2PI) + log_std, axis=1, keepdims=True
+            0.5 * (1.0 + LOG_2PI) + log_std, axis=1, keepdims=True
         )
         dlog_std = dlog_std - (ec * scale)
     else:

@@ -78,16 +78,8 @@ def create_mesh(
 def _shard_leaf(
     leaf: jax.Array, mesh: Mesh, num_envs: int, axis_name: str
 ) -> jax.Array:
-    """Place a leaf: shard the first axis sized ``num_envs`` (env state,
-    ``[B, ...]``), or the second axis for time-major buffers
-    (``[T, B, ...]``); replicate everything else."""
-    shape = jnp.shape(leaf)
-    if len(shape) >= 1 and shape[0] == num_envs:
-        spec = PartitionSpec(axis_name)
-    elif len(shape) >= 2 and shape[1] == num_envs:
-        spec = PartitionSpec(None, axis_name)
-    else:
-        spec = PartitionSpec()
+    """Place an env-batched leaf per :func:`_batch_leaf_spec`."""
+    spec = _batch_leaf_spec(leaf, num_envs, axis_name)
     return jax.device_put(leaf, NamedSharding(mesh, spec))
 
 
@@ -135,12 +127,15 @@ def gmean(x: Any, axis_name: str | None = None) -> jax.Array:
 
 
 def gstd(x: Any, axis_name: str | None = None) -> jax.Array:
-    """Population standard deviation over all elements, globally."""
+    """Population standard deviation over all elements, globally.
+
+    Two-pass (centered) like ``jnp.std`` — the one-pass E[x^2] - E[x]^2
+    form catastrophically cancels in f32 when ``|mean| >> std``."""
     if axis_name is None:
         return jnp.std(x)
     m = jax.lax.pmean(jnp.mean(x), axis_name)
-    m2 = jax.lax.pmean(jnp.mean(jnp.square(x)), axis_name)
-    return jnp.sqrt(jnp.maximum(m2 - jnp.square(m), 0.0))
+    var = jax.lax.pmean(jnp.mean(jnp.square(x - m)), axis_name)
+    return jnp.sqrt(var)
 
 
 def gmin(x: Any, axis_name: str | None = None) -> jax.Array:
@@ -162,16 +157,36 @@ def pmean_tree(tree: Any, axis_name: str | None = None) -> Any:
     )
 
 
-def state_pspecs(tree: Any, num_envs: int, *, axis_name: str = ENV_AXIS) -> Any:
-    """PartitionSpec pytree matching :func:`shard_state`'s placement:
-    env-batched leaves along the env axis, everything else replicated."""
+#: Algorithm-state fields holding env-batched data; every other field
+#: (params, optimizer state, RNG, counters, reward scale) is replicated.
+_BATCHED_STATE_FIELDS = ("env_state", "buffer")
 
-    def leaf_spec(leaf: Any) -> PartitionSpec:
-        shape = jnp.shape(leaf)
-        if len(shape) >= 1 and shape[0] == num_envs:
-            return PartitionSpec(axis_name)
-        if len(shape) >= 2 and shape[1] == num_envs:
-            return PartitionSpec(None, axis_name)
-        return PartitionSpec()
 
-    return jax.tree_util.tree_map(leaf_spec, tree)
+def _batch_leaf_spec(leaf: Any, num_envs: int, axis_name: str) -> PartitionSpec:
+    """Spec for a leaf of an env-batched subtree: shard the axis sized
+    ``num_envs`` (axis 0 for env state ``[B, ...]``, axis 1 for
+    time-major buffers ``[T, B, ...]``); replicate per-config scalars."""
+    shape = jnp.shape(leaf)
+    if len(shape) >= 1 and shape[0] == num_envs:
+        return PartitionSpec(axis_name)
+    if len(shape) >= 2 and shape[1] == num_envs:
+        return PartitionSpec(None, axis_name)
+    return PartitionSpec()
+
+
+def state_pspecs(state: Any, num_envs: int, *, axis_name: str = ENV_AXIS) -> Any:
+    """PartitionSpec pytree matching :func:`shard_state`'s placement.
+
+    Classification is FIELD-based (only ``env_state``/``buffer`` subtrees
+    are env-batched), not shape-based, so parameter/optimizer leaves
+    whose dimensions coincidentally equal ``num_envs`` (e.g. a 256-wide
+    hidden layer with ``num_envs=256``) stay replicated."""
+    spec_of = {
+        name: jax.tree_util.tree_map(
+            lambda leaf: _batch_leaf_spec(leaf, num_envs, axis_name),
+            getattr(state, name),
+        )
+        for name in _BATCHED_STATE_FIELDS
+    }
+    replicated = jax.tree_util.tree_map(lambda _: PartitionSpec(), state)
+    return replicated.replace(**spec_of)
