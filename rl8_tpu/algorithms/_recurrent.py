@@ -84,6 +84,17 @@ class RecurrentAlgorithmConfig:
     #: Run the optimizer over a single flattened parameter vector; see
     #: :class:`rl8_tpu.algorithms.AlgorithmConfig`.
     flatten_optimizer: bool = True
+    #: Compute each minibatch's losses AND parameter gradients with ONE
+    #: fused Pallas kernel (LSTM BPTT + heads + PPO losses in VMEM; see
+    #: ``ops/fused_rnn_ppo.py``). Auto-disabled for custom models or
+    #: distributions, multi-layer LSTMs, and GSPMD exact-sharding mode.
+    fused_update: bool = True
+    #: Sample rollout actions/log-probs/values/states with ONE fused
+    #: Pallas kernel per step (LSTM cell + heads + TPU-hardware-PRNG
+    #: sampling; see ``ops/fused_rnn_act.py``). Rollouts differ bit-wise
+    #: from the unfused path at equal seeds while following identical
+    #: distributions. Same auto-disable conditions as ``fused_update``.
+    fused_act: bool = True
     seed: int = 0
     mesh: Any = None
     #: See :class:`rl8_tpu.algorithms.AlgorithmConfig.exact_sharding`.
@@ -226,10 +237,26 @@ class RecurrentAlgorithm(
         )
         sharded_exact = self.mesh is not None and self._axis is None
         self._horizons_host = 0
-        # The fused Pallas GAE kernel runs per shard under shard_map but
+        # The fused Pallas kernels run per shard under shard_map but
         # can't be auto-partitioned by GSPMD exact mode.
-        self._use_pallas_gae = (
-            not sharded_exact and jax.local_devices()[0].platform == "tpu"
+        on_tpu = jax.local_devices()[0].platform == "tpu"
+        self._use_pallas_gae = not sharded_exact and on_tpu
+        from ..distributions import SquashedNormal
+        from ..ops.fused_rnn_ppo import supports_fused_rnn_update
+
+        self._squashed_dist = self.policy.distribution_cls is SquashedNormal
+        fused_ok = supports_fused_rnn_update(
+            self.policy.model,
+            self.policy.distribution_cls,
+            zero_entropy=self._static_zero_entropy,
+        )
+        #: Fully-fused recurrent PPO update (see ``ops/fused_rnn_ppo.py``).
+        self._fused_update = (
+            config.fused_update and not sharded_exact and on_tpu and fused_ok
+        )
+        #: Fused recurrent rollout sampling (see ``ops/fused_rnn_act.py``).
+        self._fused_act = (
+            config.fused_act and not sharded_exact and on_tpu and fused_ok
         )
 
     def _zero_buffer(self) -> dict[str, Any]:
@@ -318,18 +345,29 @@ class RecurrentAlgorithm(
                 init_states,
                 states,
             )
-            in_batch = {
-                DataKeys.OBS: jax.tree_util.tree_map(lambda o: o[:, None], obs)
-            }
-            (features, values), new_states = model.apply(
-                {"params": state.params}, in_batch, states
-            )
-            dist = dist_cls(features, model)
-            if deterministic:
-                actions = dist.deterministic_sample()
+            if self._fused_act:
+                from ..ops.fused_rnn_act import fused_rnn_act
+
+                actions, logp, values, new_states = fused_rnn_act(
+                    model, state.params, obs, states, key,
+                    deterministic=deterministic,
+                    squashed=self._squashed_dist,
+                )
             else:
-                actions = dist.sample(key)
-            logp = dist.logp(actions)
+                in_batch = {
+                    DataKeys.OBS: jax.tree_util.tree_map(
+                        lambda o: o[:, None], obs
+                    )
+                }
+                (features, values), new_states = model.apply(
+                    {"params": state.params}, in_batch, states
+                )
+                dist = dist_cls(features, model)
+                if deterministic:
+                    actions = dist.deterministic_sample()
+                else:
+                    actions = dist.sample(key)
+                logp = dist.logp(actions)
             env_state, obs_next, rewards = env.step(env_state, actions)
             rev_next = h.gamma * rev + rewards if h.normalize_rewards else rev
             seqs = seqs + (((t + 1) % h.seq_len) == 0).astype(jnp.int32)
@@ -574,12 +612,34 @@ class RecurrentAlgorithm(
 
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
 
+        if self._fused_update:
+            from ..ops.fused_ppo import PPOLossConfig
+
+            ppo_cfg = PPOLossConfig(
+                clip_param=h.clip_param,
+                vf_clip_param=h.vf_clip_param,
+                vf_coeff=h.vf_coeff,
+                dual_clip_param=h.dual_clip_param,
+                n_rows=mb_rows,
+                accum=accum,
+                use_entropy=use_entropy,
+                squashed=self._squashed_dist,
+            )
+
         def _minibatch(carry: dict[str, Any], xs: Any) -> tuple[dict[str, Any], None]:
             mb_packed, apply_flag = xs
 
             def _process(carry: dict[str, Any]) -> dict[str, Any]:
-                mb = unpack(mb_packed)
-                (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
+                if self._fused_update:
+                    from ..ops.fused_rnn_ppo import fused_rnn_ppo_grads
+
+                    losses, kl, grads = fused_rnn_ppo_grads(
+                        model, carry["params"], mb_packed, unpack,
+                        entropy_coeff, ppo_cfg,
+                    )
+                else:
+                    mb = unpack(mb_packed)
+                    (_, (losses, kl)), grads = grad_fn(carry["params"], mb)
                 if self._axis is not None:
                     from ..parallel import pmean_tree
 

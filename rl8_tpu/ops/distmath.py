@@ -16,7 +16,11 @@ import jax.numpy as jnp
 __all__ = [
     "LOG_2PI",
     "SQUASH_EPS",
+    "TWO_PI",
+    "kernel_uniform",
     "normal_per_dim_logp",
+    "sample_categorical_group",
+    "sample_normal_noise",
     "squashed_normal_logp",
 ]
 
@@ -59,3 +63,44 @@ def squashed_normal_logp(
         jnp.log(1.0 - actions * actions + SQUASH_EPS), axis=1, keepdims=True
     )
     return logp, diff, grad_gate
+
+
+TWO_PI = 6.283185307179586
+
+
+def kernel_uniform(shape: tuple[int, ...]) -> jax.Array:
+    """Uniform in (0, 1) from the TPU hardware PRNG (kernel context;
+    seed with ``pltpu.prng_seed`` first).
+
+    Mosaic has no uint32->float32 convert, so build a float in [1, 2)
+    by splicing 23 random mantissa bits under the exponent of 1.0 and
+    subtract 1 (clamped away from exact 0 for the log transforms)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    mant = (bits >> 9) | jnp.uint32(0x3F800000)
+    return jnp.maximum(pltpu.bitcast(mant, jnp.float32) - 1.0, 1e-7)
+
+
+def sample_categorical_group(
+    z_logp: jax.Array, deterministic: bool
+) -> tuple[jax.Array, jax.Array]:
+    """Sample one categorical group from row-wise log-probs ``[N, n]``
+    via Gumbel-argmax; returns ``(action [N, 1] int32, chosen logp)``."""
+    n = z_logp.shape[1]
+    if deterministic:
+        scores = z_logp
+    else:
+        u = kernel_uniform(z_logp.shape)
+        scores = z_logp - jnp.log(-jnp.log(u))
+    act = jnp.argmax(scores, axis=1).astype(jnp.int32).reshape(-1, 1)
+    oh = jax.lax.broadcasted_iota(jnp.int32, z_logp.shape, 1) == act
+    chosen = jnp.sum(jnp.where(oh, z_logp, 0.0), axis=1, keepdims=True)
+    return act, chosen
+
+
+def sample_normal_noise(shape: tuple[int, ...]) -> jax.Array:
+    """Standard-normal noise via Box-Muller from the hardware PRNG."""
+    u1 = kernel_uniform(shape)
+    u2 = kernel_uniform(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)

@@ -35,22 +35,14 @@ from .fused_mlp import (
     _row_tile,
 )
 
-from .distmath import normal_per_dim_logp, squashed_normal_logp
+from .distmath import (
+    normal_per_dim_logp,
+    sample_categorical_group,
+    sample_normal_noise,
+    squashed_normal_logp,
+)
 
 __all__ = ["fused_act"]
-
-_TWO_PI = 6.283185307179586
-
-
-def _uniform(shape: tuple[int, ...]) -> jax.Array:
-    """Uniform in (0, 1) from the hardware PRNG.
-
-    Mosaic has no uint32->float32 convert, so build a float in [1, 2)
-    by splicing 23 random mantissa bits under the exponent of 1.0 and
-    subtract 1 (clamped away from exact 0 for the log transforms)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    mant = (bits >> 9) | jnp.uint32(0x3F800000)
-    return jnp.maximum(pltpu.bitcast(mant, jnp.float32) - 1.0, 1e-7)
 
 
 def _log_softmax(z: jax.Array) -> jax.Array:
@@ -77,14 +69,7 @@ def _discrete_act_kernel(
     total_logp = None
     for a in range(n_groups):
         z = _log_softmax(logits[:, a * n : (a + 1) * n])
-        if deterministic:
-            scores = z
-        else:
-            u = _uniform((tile, n))
-            scores = z - jnp.log(-jnp.log(u))  # Gumbel-argmax sampling
-        act = jnp.argmax(scores, axis=1).astype(jnp.int32).reshape(tile, 1)
-        oh = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1) == act
-        chosen = jnp.sum(jnp.where(oh, z, 0.0), axis=1, keepdims=True)
+        act, chosen = sample_categorical_group(z, deterministic)
         total_logp = chosen if total_logp is None else total_logp + chosen
         actions_ref[:, a : a + 1] = act
     logp_ref[:] = total_logp
@@ -109,10 +94,7 @@ def _continuous_act_kernel(
     if deterministic:
         actions = mean
     else:
-        u1 = _uniform((tile, action_dim))
-        u2 = _uniform((tile, action_dim))
-        noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-        actions = mean + std * noise
+        actions = mean + std * sample_normal_noise((tile, action_dim))
     inv_var = jnp.exp(-2.0 * log_std)
     if squashed:
         # SquashedNormal: squash through tanh and store the logp of the

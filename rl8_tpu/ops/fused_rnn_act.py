@@ -1,0 +1,203 @@
+"""Fused recurrent rollout "act" kernel: LSTM cell + heads + sampling.
+
+Recurrent analog of ``ops/fused_act.py``: one kernel launch per collect
+step runs the single-layer ``OptimizedLSTMCell`` math, the policy/value
+heads, and TPU-hardware-PRNG action sampling, returning the new
+recurrent state alongside actions/log-probs/values. The reference runs
+the same computation as ~50 per-step eager torch ops
+(``/root/reference/src/rl8/algorithms/_recurrent.py:394-417``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..data import DataKeys
+from .distmath import (
+    normal_per_dim_logp,
+    sample_categorical_group,
+    sample_normal_noise,
+    squashed_normal_logp,
+)
+from .fused_mlp import _dot
+from .fused_rnn_ppo import _GATES
+
+__all__ = ["fused_rnn_act"]
+
+
+def _log_softmax(z: jax.Array) -> jax.Array:
+    m = jnp.max(z, axis=1, keepdims=True)
+    return z - (m + jnp.log(jnp.sum(jnp.exp(z - m), axis=1, keepdims=True)))
+
+
+def _kernel(
+    dims,  # (H, kind, action_meta, deterministic, squashed)
+    seed_ref,
+    x_ref,
+    h_ref,
+    c_ref,
+    wi_ref,
+    wh_ref,
+    b_ref,
+    *refs,
+):
+    H, kind, action_meta, deterministic, squashed = dims
+    n_heads = 2 if kind == "discrete" else 3
+    head_refs = refs[:2 * n_heads]
+    actions_ref, logp_ref, values_ref, h_out_ref, c_out_ref = refs[2 * n_heads:]
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
+
+    x = x_ref[:]
+    h = h_ref[:]
+    c = c_ref[:]
+    z = _dot(x, wi_ref[:]) + _dot(h, wh_ref[:]) + b_ref[:]
+    gi = jax.nn.sigmoid(z[:, 0:H])
+    gf = jax.nn.sigmoid(z[:, H : 2 * H])
+    gg = jnp.tanh(z[:, 2 * H : 3 * H])
+    go = jax.nn.sigmoid(z[:, 3 * H : 4 * H])
+    c = gf * c + gi * gg
+    h = go * jnp.tanh(c)
+    h_out_ref[:] = h
+    c_out_ref[:] = c
+
+    if kind == "discrete":
+        A, n = action_meta
+        logits = _dot(h, head_refs[0][:]) + head_refs[1][:]
+        values_ref[:] = _dot(h, head_refs[2][:]) + head_refs[3][:]
+        total_logp = None
+        for a in range(A):
+            zl = _log_softmax(logits[:, a * n : (a + 1) * n])
+            act, chosen = sample_categorical_group(zl, deterministic)
+            total_logp = chosen if total_logp is None else total_logp + chosen
+            actions_ref[:, a : a + 1] = act
+        logp_ref[:] = total_logp
+    else:
+        (A,) = action_meta
+        mean = _dot(h, head_refs[0][:]) + head_refs[1][:]
+        pre_log_std = _dot(h, head_refs[2][:]) + head_refs[3][:]
+        values_ref[:] = _dot(h, head_refs[4][:]) + head_refs[5][:]
+        log_std = jnp.tanh(pre_log_std)
+        std = jnp.exp(log_std)
+        inv_var = jnp.exp(-2.0 * log_std)
+        if deterministic:
+            actions = mean
+        else:
+            actions = mean + std * sample_normal_noise((x.shape[0], A))
+        if squashed:
+            actions = jnp.tanh(actions)
+            logp, _, _ = squashed_normal_logp(actions, mean, log_std, inv_var)
+            logp_ref[:] = logp
+        else:
+            diff = actions - mean
+            logp_ref[:] = jnp.sum(
+                normal_per_dim_logp(diff, log_std, inv_var),
+                axis=1,
+                keepdims=True,
+            )
+        actions_ref[:] = actions
+
+
+def fused_rnn_act(
+    model: Any,
+    params: Any,
+    obs: jax.Array,
+    states: Any,
+    key: jax.Array,
+    *,
+    deterministic: bool = False,
+    squashed: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, Any]:
+    """One recurrent rollout step with a single fused kernel.
+
+    Args:
+        obs: ``[B, d_in]`` observations for this step.
+        states: ``{hidden_states, cell_states}: [B, 1, H]`` pytree.
+
+    Returns:
+        ``(actions, logp [B, 1], values [B, 1], new_states)``.
+
+    """
+    from ..models import DefaultDiscreteRecurrentModel
+
+    lstm = params["lstm"]["lstm_0"]
+    wi = jnp.concatenate([lstm[f"i{g}"]["kernel"] for g in _GATES], axis=1)
+    wh = jnp.concatenate([lstm[f"h{g}"]["kernel"] for g in _GATES], axis=1)
+    b = jnp.concatenate([lstm[f"h{g}"]["bias"] for g in _GATES]).reshape(1, -1)
+    H = wh.shape[0]
+    h0 = states[DataKeys.HIDDEN_STATES][:, 0]
+    c0 = states[DataKeys.CELL_STATES][:, 0]
+
+    discrete = type(model) is DefaultDiscreteRecurrentModel
+    if discrete:
+        head_names = ("feature_head", "vf_head")
+        action_meta = (model.action_spec.shape[0], model.action_spec.n)
+        kind = "discrete"
+        action_dim = action_meta[0]
+        action_dtype = jnp.int32
+    else:
+        head_names = ("action_mean", "action_log_std", "vf_model")
+        action_meta = (model.action_spec.shape[0],)
+        kind = "continuous"
+        action_dim = action_meta[0]
+        action_dtype = jnp.float32
+    heads = []
+    for name in head_names:
+        heads.append(params[name]["kernel"])
+        heads.append(params[name]["bias"].reshape(1, -1))
+
+    bsz = obs.shape[0]
+    tile = min(2048, -(-bsz // 8) * 8)
+    grid = (pl.cdiv(bsz, tile),)
+    kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
+    seed = jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)
+
+    full = lambda p: pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    row = lambda width: pl.BlockSpec(
+        (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    actions, logp, values, h_n, c_n = pl.pallas_call(
+        functools.partial(
+            _kernel, (H, kind, action_meta, deterministic, squashed)
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row(obs.shape[1]),
+            row(H),
+            row(H),
+            full(wi),
+            full(wh),
+            full(b),
+            *[full(p) for p in heads],
+        ],
+        out_specs=[
+            row(action_dim),
+            row(1),
+            row(1),
+            row(H),
+            row(H),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, action_dim), action_dtype),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, H), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(seed, obs, h0, c0, wi, wh, b, *heads)
+    new_states = {
+        DataKeys.HIDDEN_STATES: h_n[:, None],
+        DataKeys.CELL_STATES: c_n[:, None],
+    }
+    return actions, logp, values, new_states

@@ -1,0 +1,476 @@
+"""Fully-fused recurrent (LSTM) PPO minibatch gradient kernel.
+
+The recurrent update is the slowest path in the framework under XLA:
+truncated-BPTT autodiff over ``[N, seq_len]`` sequence minibatches
+materializes per-timestep LSTM activations in HBM and runs ~6% MXU
+utilization. This kernel computes — per minibatch tile, entirely in
+VMEM — the single-layer LSTM forward over the sequence (exactly flax's
+``OptimizedLSTMCell`` math: sigmoid i/f/o gates, tanh g, ``c' = f c +
+i g``, ``h' = o tanh(c')``), the per-step policy/value heads, the PPO
+losses for every (sequence, step) sample, and the hand-derived BPTT
+backward, writing only the parameter gradients and loss-stat sums.
+
+Counterpart semantics: ``/root/reference/src/rl8/algorithms/
+_recurrent.py:481-652`` (sequence minibatches whose stored initial
+states seed the forward; each of the ``N x seq_len`` samples enters the
+loss with equal weight).
+
+Supported: ``DefaultDiscreteRecurrentModel`` + ``Categorical`` and
+``DefaultContinuousRecurrentModel`` + ``Normal``/``SquashedNormal``
+(zero entropy), with ``num_layers == 1``; everything else falls back to
+the flax autodiff path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..data import DataKeys
+from .distmath import LOG_2PI, normal_per_dim_logp, squashed_normal_logp
+from .fused_mlp import _dot, _dot_bt, _dot_t, _row_mask
+from .fused_ppo import PPOLossConfig, _policy_grad_terms, _vf_grad_terms
+
+__all__ = ["fused_rnn_ppo_grads", "supports_fused_rnn_update"]
+
+_GATES = ("i", "f", "g", "o")
+
+
+def supports_fused_rnn_update(
+    model: Any, distribution_cls: Any, *, zero_entropy: bool = False
+) -> bool:
+    """Whether the fused recurrent update kernel can evaluate this
+    model/distribution pair."""
+    from ..distributions import Categorical, Normal, SquashedNormal
+    from ..models import (
+        DefaultContinuousRecurrentModel,
+        DefaultDiscreteRecurrentModel,
+    )
+
+    if type(model) is DefaultDiscreteRecurrentModel:
+        ok = distribution_cls is Categorical
+    elif type(model) is DefaultContinuousRecurrentModel:
+        ok = distribution_cls is Normal or (
+            distribution_cls is SquashedNormal and zero_entropy
+        )
+    else:
+        return False
+    return ok and model.num_layers == 1 and bool(model.bias)
+
+
+def _sigmoid(x: jax.Array) -> jax.Array:
+    return jax.nn.sigmoid(x)
+
+
+def _rnn_tile(n: int) -> int:
+    """Smaller row tiles than the feedforward kernels: the BPTT saves
+    hold ~8 [tile, H] tensors per timestep in VMEM."""
+    if n <= 512:
+        return -(-n // 8) * 8
+    return 512
+
+
+def _kernel(
+    cfg: PPOLossConfig,
+    cols,
+    dims,  # (d_in, H, L, kind, action_meta)
+    packed_ref,
+    ec_ref,
+    wi_ref,
+    wh_ref,
+    b_ref,
+    *refs,
+):
+    d_in, H, L, kind, action_meta = dims
+    # Head params: discrete -> (W_pi, b_pi, W_v, b_v); continuous adds
+    # the log_std head.
+    n_heads = 3 if kind != "discrete" else 2
+    head_refs = refs[: 2 * n_heads]
+    head_wt_refs = refs[2 * n_heads : 3 * n_heads]
+    out = refs[3 * n_heads :]
+    dwi_ref, dwh_ref, db_ref = out[0], out[1], out[2]
+    dhead_refs = out[3 : 3 + 2 * n_heads]
+    stats_ref = out[3 + 2 * n_heads]
+
+    tile = packed_ref.shape[0]
+    first = pl.program_id(0) == 0
+    valid = _row_mask(cfg.n_rows, tile)
+    packed = packed_ref[:]
+    obs_sl, h_sl, c_sl, act_sl, logp_sl, adv_sl, ret_sl = cols
+
+    def fcols(sl) -> jax.Array:
+        return pltpu.bitcast(packed[:, sl[0] : sl[1]], jnp.float32)
+
+    obs = fcols(obs_sl)  # [tile, L * d_in]
+    h = fcols(h_sl)  # [tile, H]
+    c = fcols(c_sl)
+    logp_all = fcols(logp_sl)  # [tile, L]
+    adv_all = fcols(adv_sl)
+    ret_all = fcols(ret_sl)
+    if kind == "discrete":
+        actions = packed[:, act_sl[0] : act_sl[1]]  # int32 [tile, L * A]
+    else:
+        actions = fcols(act_sl)
+    if valid is not None:
+        obs = jnp.where(valid, obs, 0.0)
+        h = jnp.where(valid, h, 0.0)
+        c = jnp.where(valid, c, 0.0)
+        logp_all = jnp.where(valid, logp_all, 0.0)
+        adv_all = jnp.where(valid, adv_all, 0.0)
+        ret_all = jnp.where(valid, ret_all, 0.0)
+        actions = jnp.where(valid, actions, 0 if kind == "discrete" else 0.0)
+
+    wi, wh, b = wi_ref[:], wh_ref[:], b_ref[:]
+    ec = ec_ref[0, 0]
+    scale = 1.0 / (cfg.n_rows * L * cfg.accum)
+
+    # ---------------- forward: LSTM + heads + per-step loss -----------
+    saves = []
+    douts = []  # per step: tuple of head cotangents
+    pol_sum = jnp.zeros((), jnp.float32)
+    vf_sum = jnp.zeros((), jnp.float32)
+    ent_sum = jnp.zeros((), jnp.float32)
+    kl_sum = jnp.zeros((), jnp.float32)
+    for t in range(L):
+        x_t = obs[:, t * d_in : (t + 1) * d_in]
+        z = _dot(x_t, wi) + _dot(h, wh) + b
+        gi = _sigmoid(z[:, 0:H])
+        gf = _sigmoid(z[:, H : 2 * H])
+        gg = jnp.tanh(z[:, 2 * H : 3 * H])
+        go = _sigmoid(z[:, 3 * H : 4 * H])
+        c_new = gf * c + gi * gg
+        tc = jnp.tanh(c_new)
+        h_new = go * tc
+        saves.append((x_t, h, c, gi, gf, gg, go, tc))
+        h, c = h_new, c_new
+
+        old_logp = logp_all[:, t : t + 1]
+        adv = adv_all[:, t : t + 1]
+        ret = ret_all[:, t : t + 1]
+        if kind == "discrete":
+            A, n = action_meta
+            w_pi, b_pi = head_refs[0][:], head_refs[1][:]
+            w_v, b_v = head_refs[2][:], head_refs[3][:]
+            logits = _dot(h, w_pi) + b_pi
+            values = _dot(h, w_v) + b_v
+            acts_t = actions[:, t * A : (t + 1) * A]
+            new_logp = None
+            group_data = []
+            ent_rows = None
+            for a in range(A):
+                zlog = logits[:, a * n : (a + 1) * n]
+                m = jnp.max(zlog, axis=1, keepdims=True)
+                lse = m + jnp.log(
+                    jnp.sum(jnp.exp(zlog - m), axis=1, keepdims=True)
+                )
+                lp = zlog - lse
+                p = jnp.exp(lp)
+                oh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+                    == acts_t[:, a : a + 1]
+                )
+                chosen = jnp.sum(jnp.where(oh, lp, 0.0), axis=1, keepdims=True)
+                new_logp = chosen if new_logp is None else new_logp + chosen
+                if cfg.use_entropy:
+                    h_a = -jnp.sum(p * lp, axis=1, keepdims=True)
+                    ent_rows = h_a if ent_rows is None else ent_rows + h_a
+                else:
+                    h_a = None
+                group_data.append((p, lp, oh, h_a))
+            pol_elem, u_pol, kl_elem, _ = _policy_grad_terms(
+                new_logp, old_logp, adv, cfg, scale
+            )
+            vf_elem, dv = _vf_grad_terms(values, ret, cfg, scale)
+            dz_groups = []
+            for p, lp, oh, h_a in group_data:
+                dz_g = u_pol * (jnp.where(oh, 1.0, 0.0) - p)
+                if cfg.use_entropy:
+                    dz_g = dz_g + (ec * scale) * p * (lp + h_a)
+                dz_groups.append(dz_g)
+            dlogits = (
+                dz_groups[0] if A == 1 else jnp.concatenate(dz_groups, axis=1)
+            )
+            if valid is not None:
+                dlogits = jnp.where(valid, dlogits, 0.0)
+                dv = jnp.where(valid, dv, 0.0)
+                pol_elem = jnp.where(valid, pol_elem, 0.0)
+                vf_elem = jnp.where(valid, vf_elem, 0.0)
+                kl_elem = jnp.where(valid, kl_elem, 0.0)
+                if ent_rows is not None:
+                    ent_rows = jnp.where(valid, ent_rows, 0.0)
+            douts.append((dlogits, dv))
+        else:
+            A = action_meta[0]
+            w_mu, b_mu = head_refs[0][:], head_refs[1][:]
+            w_ls, b_ls = head_refs[2][:], head_refs[3][:]
+            w_v, b_v = head_refs[4][:], head_refs[5][:]
+            mean = _dot(h, w_mu) + b_mu
+            pre_log_std = _dot(h, w_ls) + b_ls
+            values = _dot(h, w_v) + b_v
+            log_std = jnp.tanh(pre_log_std)
+            inv_var = jnp.exp(-2.0 * log_std)
+            acts_t = actions[:, t * A : (t + 1) * A]
+            if cfg.squashed:
+                new_logp, diff, grad_gate = squashed_normal_logp(
+                    acts_t, mean, log_std, inv_var
+                )
+            else:
+                diff = acts_t - mean
+                grad_gate = None
+                new_logp = jnp.sum(
+                    normal_per_dim_logp(diff, log_std, inv_var),
+                    axis=1,
+                    keepdims=True,
+                )
+            pol_elem, u_pol, kl_elem, _ = _policy_grad_terms(
+                new_logp, old_logp, adv, cfg, scale
+            )
+            vf_elem, dv = _vf_grad_terms(values, ret, cfg, scale)
+            dmean = u_pol * (diff * inv_var)
+            dlog_std = u_pol * (diff * diff * inv_var - 1.0)
+            if grad_gate is not None:
+                dmean = dmean * grad_gate
+                dlog_std = dlog_std * grad_gate
+            if cfg.use_entropy:
+                ent_rows = jnp.sum(
+                    0.5 * (1.0 + LOG_2PI) + log_std, axis=1, keepdims=True
+                )
+                dlog_std = dlog_std - (ec * scale)
+            else:
+                ent_rows = None
+            dpre_ls = dlog_std * (1.0 - log_std * log_std)
+            if valid is not None:
+                dmean = jnp.where(valid, dmean, 0.0)
+                dpre_ls = jnp.where(valid, dpre_ls, 0.0)
+                dv = jnp.where(valid, dv, 0.0)
+                pol_elem = jnp.where(valid, pol_elem, 0.0)
+                vf_elem = jnp.where(valid, vf_elem, 0.0)
+                kl_elem = jnp.where(valid, kl_elem, 0.0)
+                if ent_rows is not None:
+                    ent_rows = jnp.where(valid, ent_rows, 0.0)
+            douts.append((dmean, dpre_ls, dv))
+        pol_sum = pol_sum + jnp.sum(pol_elem)
+        vf_sum = vf_sum + jnp.sum(vf_elem)
+        kl_sum = kl_sum + jnp.sum(kl_elem)
+        if cfg.use_entropy and ent_rows is not None:
+            ent_sum = ent_sum + jnp.sum(ent_rows)
+
+    # ---------------- backward: heads + BPTT --------------------------
+    def _acc(ref: Any, value: jax.Array) -> None:
+        @pl.when(first)
+        def _() -> None:
+            ref[:] = value
+
+        @pl.when(jnp.logical_not(first))
+        def _() -> None:
+            ref[:] = ref[:] + value
+
+    dwi = None
+    dwh = None
+    dbias = None
+    dheads = [None] * (2 * n_heads)
+    dh_next = jnp.zeros((tile, H), jnp.float32)
+    dc_next = jnp.zeros((tile, H), jnp.float32)
+    for t in range(L - 1, -1, -1):
+        x_t, h_prev, c_prev, gi, gf, gg, go, tc = saves[t]
+        h_t = go * tc
+        dh = dh_next
+        for j, dout in enumerate(douts[t]):
+            dW = _dot_t(h_t, dout)
+            db_h = jnp.sum(dout, axis=0, keepdims=True)
+            dheads[2 * j] = dW if dheads[2 * j] is None else dheads[2 * j] + dW
+            dheads[2 * j + 1] = (
+                db_h if dheads[2 * j + 1] is None else dheads[2 * j + 1] + db_h
+            )
+            dh = dh + _dot(dout, head_wt_refs[j][:])
+        dc = dh * go * (1.0 - tc * tc) + dc_next
+        do_z = dh * tc * go * (1.0 - go)
+        di_z = dc * gg * gi * (1.0 - gi)
+        df_z = dc * c_prev * gf * (1.0 - gf)
+        dg_z = dc * gi * (1.0 - gg * gg)
+        dz = jnp.concatenate([di_z, df_z, dg_z, do_z], axis=1)  # [tile, 4H]
+        dwi_t = _dot_t(x_t, dz)
+        dwh_t = _dot_t(h_prev, dz)
+        db_t = jnp.sum(dz, axis=0, keepdims=True)
+        dwi = dwi_t if dwi is None else dwi + dwi_t
+        dwh = dwh_t if dwh is None else dwh + dwh_t
+        dbias = db_t if dbias is None else dbias + db_t
+        dh_next = _dot_bt(dz, wh)
+        dc_next = dc * gf
+
+    _acc(dwi_ref, dwi)
+    _acc(dwh_ref, dwh)
+    _acc(db_ref, dbias)
+    for j in range(2 * n_heads):
+        _acc(dhead_refs[j], dheads[j])
+    zero = jnp.zeros((1, 1), jnp.float32)
+    stats = jnp.concatenate(
+        [
+            pol_sum.reshape(1, 1),
+            vf_sum.reshape(1, 1),
+            ent_sum.reshape(1, 1),
+            kl_sum.reshape(1, 1),
+            zero,
+            zero,
+            zero,
+            zero,
+        ],
+        axis=1,
+    )
+    _acc(stats_ref, stats)
+
+
+def _leaf_index_tree(unpacker: Any) -> Any:
+    return jax.tree_util.tree_unflatten(
+        unpacker.treedef, list(range(len(unpacker.metas)))
+    )
+
+
+def fused_rnn_ppo_grads(
+    model: Any,
+    params: Any,
+    packed_mb: jax.Array,
+    unpacker: Any,
+    entropy_coeff: jax.Array | float,
+    cfg: PPOLossConfig,
+    *,
+    interpret: bool = False,
+) -> tuple[dict[str, jax.Array], jax.Array, Any]:
+    """Compute the recurrent PPO losses, approximate KL, and parameter
+    gradients for one packed sequence minibatch with the fused kernel.
+
+    ``cfg.n_rows`` counts SEQUENCES (loss terms normalize by
+    ``n_rows * seq_len``). Returns ``(losses, kl, grads)`` with
+    per-sample-mean losses and a gradient tree matching ``params``.
+    """
+    from ..models import DefaultDiscreteRecurrentModel
+
+    if cfg.squashed and cfg.use_entropy:
+        raise ValueError(
+            "SquashedNormal has no defined entropy; the fused update"
+            " requires a statically-zero entropy coefficient."
+        )
+    idx = _leaf_index_tree(unpacker)
+    metas = unpacker.metas
+
+    def _cols(leaf_idx: int) -> tuple[int, int]:
+        m = metas[leaf_idx]
+        return (m.start, m.stop)
+
+    cols = (
+        _cols(idx[DataKeys.OBS]),
+        _cols(idx[DataKeys.STATES][DataKeys.HIDDEN_STATES]),
+        _cols(idx[DataKeys.STATES][DataKeys.CELL_STATES]),
+        _cols(idx[DataKeys.ACTIONS]),
+        _cols(idx[DataKeys.LOGP]),
+        _cols(idx[DataKeys.ADVANTAGES]),
+        _cols(idx[DataKeys.RETURNS]),
+    )
+
+    lstm = params["lstm"]["lstm_0"]
+    wi = jnp.concatenate([lstm[f"i{g}"]["kernel"] for g in _GATES], axis=1)
+    wh = jnp.concatenate([lstm[f"h{g}"]["kernel"] for g in _GATES], axis=1)
+    b = jnp.concatenate([lstm[f"h{g}"]["bias"] for g in _GATES]).reshape(1, -1)
+    d_in = wi.shape[0]
+    H = wh.shape[0]
+
+    discrete = type(model) is DefaultDiscreteRecurrentModel
+    if discrete:
+        head_names = ("feature_head", "vf_head")
+        action_meta = (model.action_spec.shape[0], model.action_spec.n)
+        kind = "discrete"
+    else:
+        head_names = ("action_mean", "action_log_std", "vf_model")
+        action_meta = (model.action_spec.shape[0],)
+        kind = "continuous"
+    heads = []
+    for name in head_names:
+        heads.append(params[name]["kernel"])
+        heads.append(params[name]["bias"].reshape(1, -1))
+    head_wts = [params[name]["kernel"].T for name in head_names]
+
+    rows = packed_mb.shape[0]
+    # seq_len from the logp column width.
+    L = cols[4][1] - cols[4][0]
+    tile = _rnn_tile(rows)
+    grid = (pl.cdiv(rows, tile),)
+    ec = jnp.asarray(entropy_coeff, dtype=jnp.float32).reshape(1, 1)
+
+    full = lambda p: pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dparam_shapes = [
+        jax.ShapeDtypeStruct(wi.shape, jnp.float32),
+        jax.ShapeDtypeStruct(wh.shape, jnp.float32),
+        jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in heads],
+    ]
+    out_shapes = [*dparam_shapes, jax.ShapeDtypeStruct((1, 8), jnp.float32)]
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel, cfg, cols, (d_in, H, L, kind, action_meta)
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile, packed_mb.shape[1]), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full(wi),
+            full(wh),
+            full(b),
+            *[full(p) for p in heads],
+            *[full(w) for w in head_wts],
+        ],
+        out_specs=[
+            full(wi),
+            full(wh),
+            full(b),
+            *[full(p) for p in heads],
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(packed_mb, ec, wi, wh, b, *heads, *head_wts)
+
+    dwi, dwh, db = outs[0], outs[1], outs[2]
+    dheads = outs[3 : 3 + len(heads)]
+    stats = outs[-1][0]
+    n = float(cfg.n_rows * L)
+    policy_loss = stats[0] / n
+    vf_loss = stats[1] / n
+    entropy_loss = stats[2] / n
+    kl = stats[3] / n
+    total = cfg.vf_coeff * vf_loss - policy_loss
+    if cfg.use_entropy:
+        total = total - jnp.asarray(entropy_coeff, jnp.float32) * entropy_loss
+    losses = {
+        "entropy": entropy_loss,
+        "policy": policy_loss,
+        "vf": vf_loss,
+        "total": total,
+    }
+
+    # Rebuild the params-tree gradient: split the fused gate grads.
+    lstm_grads: dict[str, Any] = {}
+    for k, g in enumerate(_GATES):
+        lstm_grads[f"i{g}"] = {"kernel": dwi[:, k * H : (k + 1) * H]}
+        lstm_grads[f"h{g}"] = {
+            "kernel": dwh[:, k * H : (k + 1) * H],
+            "bias": db[0, k * H : (k + 1) * H],
+        }
+    grads: dict[str, Any] = {"lstm": {"lstm_0": lstm_grads}}
+    for j, name in enumerate(head_names):
+        w, bias = params[name]["kernel"], params[name]["bias"]
+        grads[name] = {
+            "kernel": dheads[2 * j].astype(w.dtype),
+            "bias": dheads[2 * j + 1].reshape(bias.shape).astype(bias.dtype),
+        }
+    return losses, kl, grads

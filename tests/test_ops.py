@@ -393,3 +393,172 @@ def test_fused_act_deterministic_and_logp_consistency() -> None:
     np.testing.assert_allclose(np.asarray(ac), np.asarray(fc["mean"]), rtol=2e-2, atol=3e-2)
     np.testing.assert_allclose(np.asarray(lpc), np.asarray(distc.logp(ac)), rtol=3e-2, atol=3e-2)
     np.testing.assert_allclose(np.asarray(vc), np.asarray(vc_ref), rtol=2e-2, atol=3e-2)
+
+
+# ----------------------------------------------------------------------
+# Fused recurrent (LSTM) PPO update kernel (interpret mode)
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kind,use_entropy,dual",
+    [
+        ("discrete", False, None),
+        ("discrete", True, 3.0),
+        ("continuous", True, 2.0),
+        ("squashed", False, None),
+    ],
+)
+def test_fused_rnn_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
+    """The fused LSTM-BPTT PPO kernel reproduces ppo_losses + jax.grad
+    through the flax recurrent model for every parameter."""
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.distributions import Categorical, Normal, SquashedNormal
+    from rl8_tpu.models import (
+        DefaultContinuousRecurrentModel,
+        DefaultDiscreteRecurrentModel,
+    )
+    from rl8_tpu.nn import ppo_losses
+    from rl8_tpu.ops import pack_rows
+    from rl8_tpu.ops.fused_ppo import PPOLossConfig
+    from rl8_tpu.ops.fused_rnn_ppo import fused_rnn_ppo_grads
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    N, L = 37, 4  # non-multiple-of-8 rows exercise masking
+    if kind == "discrete":
+        model = DefaultDiscreteRecurrentModel(
+            Unbounded(3), Discrete(3, shape=(2,)), hidden_size=16
+        )
+        dist_cls = Categorical
+        actions = jax.random.randint(jax.random.key(7), (N, L, 2), 0, 3)
+    else:
+        model = DefaultContinuousRecurrentModel(
+            Unbounded(3), Unbounded(2), hidden_size=16
+        )
+        dist_cls = SquashedNormal if kind == "squashed" else Normal
+        actions = jax.random.normal(jax.random.key(8), (N, L, 2)) * 0.5
+        if kind == "squashed":
+            actions = jnp.tanh(actions)
+
+    obs = jax.random.normal(jax.random.key(3), (N, L, 3))
+    states = {
+        DataKeys.HIDDEN_STATES: 0.3
+        * jax.random.normal(jax.random.key(9), (N, 1, 16)),
+        DataKeys.CELL_STATES: 0.3
+        * jax.random.normal(jax.random.key(10), (N, 1, 16)),
+    }
+    params = model.init(jax.random.key(0), {DataKeys.OBS: obs}, states)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(2), p.shape), params
+    )
+    flat = {
+        DataKeys.OBS: obs,
+        DataKeys.STATES: states,
+        DataKeys.ACTIONS: actions,
+        DataKeys.LOGP: 0.1 * jax.random.normal(jax.random.key(4), (N, L, 1)),
+        DataKeys.ADVANTAGES: jax.random.normal(jax.random.key(5), (N, L, 1)),
+        DataKeys.RETURNS: jax.random.normal(jax.random.key(6), (N, L, 1)),
+    }
+    packed, unpack = pack_rows(flat)
+    ec = 0.013 if use_entropy else 0.0
+    accum = 2
+    cfg = PPOLossConfig(
+        clip_param=0.2, vf_clip_param=1.5, vf_coeff=0.9,
+        dual_clip_param=dual, n_rows=N, accum=accum,
+        use_entropy=use_entropy, squashed=(kind == "squashed"),
+    )
+
+    def loss_fn(p):
+        (f, v), _ = model.apply({"params": p}, {DataKeys.OBS: obs}, states)
+        dist = dist_cls(f, model)
+        flat_mb = {
+            k: flat[k].reshape(-1, *flat[k].shape[2:])
+            for k in (
+                DataKeys.ACTIONS,
+                DataKeys.LOGP,
+                DataKeys.ADVANTAGES,
+                DataKeys.RETURNS,
+            )
+        }
+        losses = ppo_losses(
+            flat_mb, v, dist, clip_param=0.2, dual_clip_param=dual,
+            entropy_coeff=ec if use_entropy else 0.0,
+            vf_clip_param=1.5, vf_coeff=0.9,
+        )
+        lr = dist.logp(flat_mb[DataKeys.ACTIONS]) - flat_mb[DataKeys.LOGP]
+        kl = jnp.mean((jnp.exp(lr) - 1) - lr)
+        return losses["total"] / accum, (losses, kl)
+
+    (_, (ref_losses, ref_kl)), ref_grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    losses, kl, grads = fused_rnn_ppo_grads(
+        model, params, packed, unpack, ec, cfg, interpret=True
+    )
+
+    for k in ("entropy", "policy", "vf", "total"):
+        a, b = float(ref_losses[k]), float(losses[k])
+        assert abs(a - b) < 3e-2 * (abs(a) + 1e-2), (k, a, b)
+    assert abs(float(ref_kl) - float(kl)) < 3e-2 * (abs(float(ref_kl)) + 1e-2)
+    jax.tree_util.tree_map(lambda a, b: _norm_close(a, b, 0.1), ref_grads, grads)
+
+
+def test_supports_fused_rnn_update_gating() -> None:
+    from rl8_tpu.distributions import Categorical, Normal, SquashedNormal
+    from rl8_tpu.models import (
+        DefaultContinuousRecurrentModel,
+        DefaultDiscreteRecurrentModel,
+    )
+    from rl8_tpu.ops.fused_rnn_ppo import supports_fused_rnn_update
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    disc = DefaultDiscreteRecurrentModel(Unbounded(3), Discrete(3, shape=(1,)))
+    cont = DefaultContinuousRecurrentModel(Unbounded(3), Unbounded(2))
+    assert supports_fused_rnn_update(disc, Categorical)
+    assert not supports_fused_rnn_update(disc, Normal)
+    assert supports_fused_rnn_update(cont, Normal)
+    assert not supports_fused_rnn_update(cont, SquashedNormal)
+    assert supports_fused_rnn_update(cont, SquashedNormal, zero_entropy=True)
+    # Multi-layer LSTMs fall back to autodiff.
+    deep = DefaultDiscreteRecurrentModel(
+        Unbounded(3), Discrete(3, shape=(1,)), num_layers=2
+    )
+    assert not supports_fused_rnn_update(deep, Categorical)
+
+
+def test_fused_rnn_act_deterministic_matches_flax() -> None:
+    """The recurrent act kernel's deterministic path equals the flax
+    cell + argmax/mean path, including the carried LSTM state."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.distributions import Categorical
+    from rl8_tpu.models import DefaultDiscreteRecurrentModel
+    from rl8_tpu.ops.fused_rnn_act import fused_rnn_act
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    model = DefaultDiscreteRecurrentModel(
+        Unbounded(3), Discrete(3, shape=(2,)), hidden_size=16
+    )
+    B = 24
+    obs = jax.random.normal(jax.random.key(1), (B, 3))
+    states = {
+        DataKeys.HIDDEN_STATES: 0.3 * jax.random.normal(jax.random.key(2), (B, 1, 16)),
+        DataKeys.CELL_STATES: 0.3 * jax.random.normal(jax.random.key(3), (B, 1, 16)),
+    }
+    batch = {DataKeys.OBS: obs[:, None]}
+    params = model.init(jax.random.key(0), batch, states)["params"]
+    (f_ref, v_ref), new_ref = model.apply({"params": params}, batch, states)
+    dist = Categorical(f_ref, model)
+
+    with pltpu.force_tpu_interpret_mode():
+        a, lp, v, new_states = fused_rnn_act(
+            model, params, obs, states, jax.random.key(5), deterministic=True
+        )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(dist.deterministic_sample()))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(dist.logp(a)), rtol=2e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=2e-2, atol=3e-2)
+    for k in (DataKeys.HIDDEN_STATES, DataKeys.CELL_STATES):
+        np.testing.assert_allclose(
+            np.asarray(new_states[k]), np.asarray(new_ref[k]), rtol=2e-2, atol=3e-2
+        )
