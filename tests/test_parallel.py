@@ -175,3 +175,58 @@ def test_shard_map_global_stat_reductions() -> None:
     stats = algo.collect(env_config={"bounds": 10.0})
     assert stats["returns/min"] < stats["returns/max"]
     assert stats["returns/std"] > 0.0
+
+
+def test_gstd_is_cancellation_safe() -> None:
+    """Global std must be centered (two-pass): huge means with small
+    spreads would cancel catastrophically in E[x^2] - E[x]^2 form."""
+    from functools import partial
+
+    from rl8_tpu.parallel import gstd
+
+    mesh = create_mesh()
+    x = 1e5 + jnp.linspace(0.0, 1.0, 64).reshape(8, 8)
+
+    fn = jax.jit(
+        jax.shard_map(
+            partial(gstd, axis_name=ENV_AXIS),
+            mesh=mesh,
+            in_specs=jax.sharding.PartitionSpec(ENV_AXIS),
+            out_specs=jax.sharding.PartitionSpec(),
+            check_vma=False,
+        )
+    )
+    np.testing.assert_allclose(float(fn(x)), float(jnp.std(x)), rtol=1e-3)
+
+
+def test_state_pspecs_ignore_coincidental_dims() -> None:
+    """Param/optimizer leaves whose dims equal num_envs must stay
+    replicated: spec classification is field-based, not shape-based."""
+    from jax.sharding import PartitionSpec as P
+
+    from rl8_tpu.parallel import state_pspecs
+
+    # hidden width == num_envs == horizon-ish: the classic collision.
+    algo = AlgorithmConfig(
+        num_envs=16, horizon=4, model_config={"hiddens": (16, 16)}
+    ).build(DiscreteDummyEnv)
+    specs = state_pspecs(algo.state, 16)
+    for leaf in jax.tree_util.tree_leaves(
+        (specs.params, specs.opt_state), is_leaf=lambda x: isinstance(x, P)
+    ):
+        assert leaf == P(), leaf
+    assert specs.buffer[DataKeys.REWARDS] == P(None, ENV_AXIS)
+    assert specs.env_state["position"] == P(ENV_AXIS)
+
+
+def test_shard_map_with_coincidental_hidden_width_trains() -> None:
+    """End-to-end: shard_map training works when hiddens == num_envs."""
+    algo = AlgorithmConfig(
+        num_envs=16,
+        horizon=4,
+        model_config={"hiddens": (16,)},
+        mesh=create_mesh(),
+    ).build(DiscreteDummyEnv)
+    algo.collect()
+    stats = algo.step()
+    assert "losses/total" in stats
