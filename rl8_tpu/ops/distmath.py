@@ -18,6 +18,7 @@ __all__ = [
     "SQUASH_EPS",
     "TWO_PI",
     "kernel_uniform",
+    "log_softmax_rows",
     "normal_per_dim_logp",
     "sample_categorical_group",
     "sample_normal_noise",
@@ -82,12 +83,18 @@ def kernel_uniform(shape: tuple[int, ...]) -> jax.Array:
     return jnp.maximum(pltpu.bitcast(mant, jnp.float32) - 1.0, 1e-7)
 
 
+def log_softmax_rows(z: jax.Array) -> jax.Array:
+    """Numerically-stable log-softmax over the last axis (the shared
+    in-kernel formula — act and update kernels must agree bit-for-bit)."""
+    m = jnp.max(z, axis=1, keepdims=True)
+    return z - (m + jnp.log(jnp.sum(jnp.exp(z - m), axis=1, keepdims=True)))
+
+
 def sample_categorical_group(
     z_logp: jax.Array, deterministic: bool
 ) -> tuple[jax.Array, jax.Array]:
     """Sample one categorical group from row-wise log-probs ``[N, n]``
     via Gumbel-argmax; returns ``(action [N, 1] int32, chosen logp)``."""
-    n = z_logp.shape[1]
     if deterministic:
         scores = z_logp
     else:

@@ -36,6 +36,7 @@ from .fused_mlp import (
 )
 
 from .distmath import (
+    log_softmax_rows,
     normal_per_dim_logp,
     sample_categorical_group,
     sample_normal_noise,
@@ -43,11 +44,6 @@ from .distmath import (
 )
 
 __all__ = ["fused_act"]
-
-
-def _log_softmax(z: jax.Array) -> jax.Array:
-    m = jnp.max(z, axis=1, keepdims=True)
-    return z - (m + jnp.log(jnp.sum(jnp.exp(z - m), axis=1, keepdims=True)))
 
 
 def _discrete_act_kernel(
@@ -68,7 +64,7 @@ def _discrete_act_kernel(
     n_groups = logits.shape[1] // n
     total_logp = None
     for a in range(n_groups):
-        z = _log_softmax(logits[:, a * n : (a + 1) * n])
+        z = log_softmax_rows(logits[:, a * n : (a + 1) * n])
         act, chosen = sample_categorical_group(z, deterministic)
         total_logp = chosen if total_logp is None else total_logp + chosen
         actions_ref[:, a : a + 1] = act

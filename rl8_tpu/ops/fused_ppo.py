@@ -43,7 +43,7 @@ from .fused_mlp import (
     _row_tile,
 )
 
-from .distmath import normal_per_dim_logp, squashed_normal_logp
+from .distmath import log_softmax_rows, normal_per_dim_logp, squashed_normal_logp
 
 __all__ = ["fused_ppo_grads", "supports_fused_update", "PPOLossConfig"]
 
@@ -177,10 +177,7 @@ def _discrete_kernel(
     group_data = []
     ent_sum_rows = None
     for a in range(n_groups):
-        z = logits[:, a * n : (a + 1) * n]
-        m = jnp.max(z, axis=1, keepdims=True)
-        lse = m + jnp.log(jnp.sum(jnp.exp(z - m), axis=1, keepdims=True))
-        logp_all = z - lse
+        logp_all = log_softmax_rows(logits[:, a * n : (a + 1) * n])
         p = jnp.exp(logp_all)
         oh = (
             jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)

@@ -20,6 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..data import DataKeys
 from .distmath import (
+    log_softmax_rows,
     normal_per_dim_logp,
     sample_categorical_group,
     sample_normal_noise,
@@ -29,11 +30,6 @@ from .fused_mlp import _dot
 from .fused_rnn_ppo import _GATES
 
 __all__ = ["fused_rnn_act"]
-
-
-def _log_softmax(z: jax.Array) -> jax.Array:
-    m = jnp.max(z, axis=1, keepdims=True)
-    return z - (m + jnp.log(jnp.sum(jnp.exp(z - m), axis=1, keepdims=True)))
 
 
 def _kernel(
@@ -72,7 +68,7 @@ def _kernel(
         values_ref[:] = _dot(h, head_refs[2][:]) + head_refs[3][:]
         total_logp = None
         for a in range(A):
-            zl = _log_softmax(logits[:, a * n : (a + 1) * n])
+            zl = log_softmax_rows(logits[:, a * n : (a + 1) * n])
             act, chosen = sample_categorical_group(zl, deterministic)
             total_logp = chosen if total_logp is None else total_logp + chosen
             actions_ref[:, a : a + 1] = act

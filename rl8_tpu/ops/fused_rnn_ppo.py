@@ -32,8 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..data import DataKeys
-from .distmath import LOG_2PI, normal_per_dim_logp, squashed_normal_logp
-from .fused_mlp import _dot, _dot_bt, _dot_t, _row_mask
+from .distmath import LOG_2PI, log_softmax_rows, normal_per_dim_logp, squashed_normal_logp
+from .fused_mlp import _dot, _dot_bt, _dot_t, _make_acc, _row_mask
 from .fused_ppo import PPOLossConfig, _policy_grad_terms, _vf_grad_terms
 
 __all__ = ["fused_rnn_ppo_grads", "supports_fused_rnn_update"]
@@ -63,16 +63,15 @@ def supports_fused_rnn_update(
     return ok and model.num_layers == 1 and bool(model.bias)
 
 
-def _sigmoid(x: jax.Array) -> jax.Array:
-    return jax.nn.sigmoid(x)
-
-
-def _rnn_tile(n: int) -> int:
-    """Smaller row tiles than the feedforward kernels: the BPTT saves
-    hold ~8 [tile, H] tensors per timestep in VMEM."""
-    if n <= 512:
-        return -(-n // 8) * 8
-    return 512
+def _rnn_tile(n: int, hidden: int, seq_len: int) -> int:
+    """Row-tile size bounded by the BPTT saves: the backward holds ~8
+    f32 ``[tile, H]`` tensors per timestep in VMEM, so the tile shrinks
+    with ``hidden * seq_len`` to stay within the kernel's VMEM budget
+    for any supported config (e.g. seq_len=32, hidden=512)."""
+    budget = 48 * 1024 * 1024  # leave room for weights/gates/douts
+    per_row = 8 * 4 * hidden * seq_len
+    tile = max(8, min(512, (budget // max(per_row, 1)) // 8 * 8))
+    return min(tile, -(-n // 8) * 8)
 
 
 def _kernel(
@@ -98,7 +97,6 @@ def _kernel(
     stats_ref = out[3 + 2 * n_heads]
 
     tile = packed_ref.shape[0]
-    first = pl.program_id(0) == 0
     valid = _row_mask(cfg.n_rows, tile)
     packed = packed_ref[:]
     obs_sl, h_sl, c_sl, act_sl, logp_sl, adv_sl, ret_sl = cols
@@ -139,10 +137,10 @@ def _kernel(
     for t in range(L):
         x_t = obs[:, t * d_in : (t + 1) * d_in]
         z = _dot(x_t, wi) + _dot(h, wh) + b
-        gi = _sigmoid(z[:, 0:H])
-        gf = _sigmoid(z[:, H : 2 * H])
+        gi = jax.nn.sigmoid(z[:, 0:H])
+        gf = jax.nn.sigmoid(z[:, H : 2 * H])
         gg = jnp.tanh(z[:, 2 * H : 3 * H])
-        go = _sigmoid(z[:, 3 * H : 4 * H])
+        go = jax.nn.sigmoid(z[:, 3 * H : 4 * H])
         c_new = gf * c + gi * gg
         tc = jnp.tanh(c_new)
         h_new = go * tc
@@ -163,12 +161,7 @@ def _kernel(
             group_data = []
             ent_rows = None
             for a in range(A):
-                zlog = logits[:, a * n : (a + 1) * n]
-                m = jnp.max(zlog, axis=1, keepdims=True)
-                lse = m + jnp.log(
-                    jnp.sum(jnp.exp(zlog - m), axis=1, keepdims=True)
-                )
-                lp = zlog - lse
+                lp = log_softmax_rows(logits[:, a * n : (a + 1) * n])
                 p = jnp.exp(lp)
                 oh = (
                     jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
@@ -261,14 +254,7 @@ def _kernel(
             ent_sum = ent_sum + jnp.sum(ent_rows)
 
     # ---------------- backward: heads + BPTT --------------------------
-    def _acc(ref: Any, value: jax.Array) -> None:
-        @pl.when(first)
-        def _() -> None:
-            ref[:] = value
-
-        @pl.when(jnp.logical_not(first))
-        def _() -> None:
-            ref[:] = ref[:] + value
+    _acc = _make_acc()
 
     dwi = None
     dwh = None
@@ -397,7 +383,7 @@ def fused_rnn_ppo_grads(
     rows = packed_mb.shape[0]
     # seq_len from the logp column width.
     L = cols[4][1] - cols[4][0]
-    tile = _rnn_tile(rows)
+    tile = _rnn_tile(rows, H, L)
     grid = (pl.cdiv(rows, tile),)
     ec = jnp.asarray(entropy_coeff, dtype=jnp.float32).reshape(1, 1)
 
