@@ -98,3 +98,35 @@ def test_trainer_checkpoint_requires_dir() -> None:
     ).build(DiscreteDummyEnv)
     with pytest.raises(ValueError):
         Trainer(algo).run(steps_per_checkpoint=2)
+
+
+def test_sharded_checkpoint_round_trip(tmp_path) -> None:
+    """Checkpoint/restore preserves state and shardings under a mesh,
+    and training continues after restore."""
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.parallel import create_mesh
+
+    def make():
+        return AlgorithmConfig(
+            num_envs=16, horizon=4, model_config={"hiddens": (8,)},
+            mesh=create_mesh(), seed=5,
+        ).build(DiscreteDummyEnv)
+
+    algo = make()
+    algo.collect()
+    algo.step()
+    algo.collect()
+    save_checkpoint(tmp_path / "ckpt", algo)
+
+    restored = make()
+    restore_checkpoint(tmp_path / "ckpt", restored)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))
+        ),
+        algo.state.params,
+        restored.state.params,
+    )
+    assert not restored.state.buffer[DataKeys.OBS].sharding.is_fully_replicated
+    restored.step()
+    restored.collect()
