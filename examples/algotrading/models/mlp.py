@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from rl8_tpu.data import DataKeys
 from rl8_tpu.models import GenericModel, small_uniform_init
 from rl8_tpu.nn import MLP, get_activation
-from rl8_tpu.specs import Spec
 from rl8_tpu.views import ViewRequirement
 
 _FMIN = float(jnp.finfo(jnp.float32).min)

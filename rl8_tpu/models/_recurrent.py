@@ -13,7 +13,7 @@ Pure forward contract: ``__call__(batch [B, T, ...], states) ->
 
 from __future__ import annotations
 
-from typing import Any, Protocol, Sequence
+from typing import Any, Protocol
 
 import flax.linen as nn
 import jax
