@@ -3,6 +3,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from rl8_tpu.data import DataKeys
@@ -132,3 +133,61 @@ def test_recurrent_sample_threads_states() -> None:
     assert out[DataKeys.VALUES].shape == (B * T, 1)
     leaf = new_states[DataKeys.HIDDEN_STATES]
     assert leaf.shape[0] == B
+
+
+class _CompositeModel:
+    """Defined lazily at module level so the pickled policy export can
+    reference it (pickle rejects function-local classes)."""
+
+
+def _make_composite_model_cls():
+    import flax.linen as nn
+
+    from rl8_tpu.models import Model
+
+    global _CompositeModel
+
+    class _CompositeModel(Model):  # noqa: F811 - module-level for pickling
+        @nn.compact
+        def __call__(self, batch):
+            obs = batch[DataKeys.OBS]
+            x = jnp.concatenate([obs["a"], obs["b"]], axis=-1)
+            latents = nn.relu(nn.Dense(16)(x))
+            logits = nn.Dense(3)(latents).reshape(-1, 1, 3)
+            values = nn.Dense(1)(latents)
+            return {"logits": logits}, values
+
+    _CompositeModel.__qualname__ = "_CompositeModel"
+    return _CompositeModel
+
+
+def test_serving_composite_observations(tmp_path) -> None:
+    """PolicyModel.predict round-trips composite (nested-dict) NumPy
+    observations through spec encoding, mirroring the reference's
+    pyfunc shim on the algotrading-style envs."""
+    import numpy as np
+
+    from rl8_tpu.policies import Policy
+    from rl8_tpu.policies.serving import PolicyModel
+    from rl8_tpu.specs import Composite, Discrete, Unbounded
+
+    CompositeModel = _make_composite_model_cls()
+    obs_spec = Composite({"a": Unbounded(2), "b": Unbounded(3)})
+    action_spec = Discrete(3, shape=(1,))
+    policy = Policy(obs_spec, action_spec, model_cls=CompositeModel)
+    params = policy.init_params(jax.random.key(0))
+    path = tmp_path / "policy.pkl"
+    policy.save(path, params)
+
+    model = PolicyModel.load(path)
+    B, T = 4, 2
+    df = model.predict(
+        {
+            DataKeys.OBS: {
+                "a": np.random.randn(B, T, 2).astype(np.float32),
+                "b": np.random.randn(B, T, 3).astype(np.float32),
+            }
+        }
+    )
+    assert len(df) == B * T
+    assert set(df.columns) >= {DataKeys.ACTIONS, DataKeys.LOGP, DataKeys.VALUES}
