@@ -86,8 +86,9 @@ class RecurrentAlgorithmConfig:
     flatten_optimizer: bool = True
     #: Compute each minibatch's losses AND parameter gradients with ONE
     #: fused Pallas kernel (LSTM BPTT + heads + PPO losses in VMEM; see
-    #: ``ops/fused_rnn_ppo.py``). Auto-disabled for custom models or
-    #: distributions, multi-layer LSTMs, and GSPMD exact-sharding mode.
+    #: ``ops/fused_rnn_ppo.py``; stacked LSTMs fuse up to 8 layers).
+    #: Auto-disabled for custom models or distributions and in GSPMD
+    #: exact-sharding mode.
     fused_update: bool = True
     #: Sample rollout actions/log-probs/values/states with ONE fused
     #: Pallas kernel per step (LSTM cell + heads + TPU-hardware-PRNG

@@ -33,34 +33,43 @@ __all__ = ["fused_rnn_act"]
 
 
 def _kernel(
-    dims,  # (H, kind, action_meta, deterministic, squashed)
+    dims,  # (H, K, kind, action_meta, deterministic, squashed)
     seed_ref,
     x_ref,
     h_ref,
     c_ref,
-    wi_ref,
-    wh_ref,
-    b_ref,
     *refs,
 ):
-    H, kind, action_meta, deterministic, squashed = dims
+    H, K, kind, action_meta, deterministic, squashed = dims
     n_heads = 2 if kind == "discrete" else 3
-    head_refs = refs[:2 * n_heads]
-    actions_ref, logp_ref, values_ref, h_out_ref, c_out_ref = refs[2 * n_heads:]
+    lstm_refs = refs[: 3 * K]
+    head_refs = refs[3 * K : 3 * K + 2 * n_heads]
+    actions_ref, logp_ref, values_ref, h_out_ref, c_out_ref = refs[
+        3 * K + 2 * n_heads :
+    ]
     pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
 
     x = x_ref[:]
-    h = h_ref[:]
-    c = c_ref[:]
-    z = _dot(x, wi_ref[:]) + _dot(h, wh_ref[:]) + b_ref[:]
-    gi = jax.nn.sigmoid(z[:, 0:H])
-    gf = jax.nn.sigmoid(z[:, H : 2 * H])
-    gg = jnp.tanh(z[:, 2 * H : 3 * H])
-    go = jax.nn.sigmoid(z[:, 3 * H : 4 * H])
-    c = gf * c + gi * gg
-    h = go * jnp.tanh(c)
-    h_out_ref[:] = h
-    c_out_ref[:] = c
+    h_cols = h_ref[:]  # [tile, K * H]
+    c_cols = c_ref[:]
+    for l in range(K):
+        h = h_cols[:, l * H : (l + 1) * H]
+        c = c_cols[:, l * H : (l + 1) * H]
+        wi, wh, b = (
+            lstm_refs[3 * l][:],
+            lstm_refs[3 * l + 1][:],
+            lstm_refs[3 * l + 2][:],
+        )
+        z = _dot(x, wi) + _dot(h, wh) + b
+        gi = jax.nn.sigmoid(z[:, 0:H])
+        gf = jax.nn.sigmoid(z[:, H : 2 * H])
+        gg = jnp.tanh(z[:, 2 * H : 3 * H])
+        go = jax.nn.sigmoid(z[:, 3 * H : 4 * H])
+        c = gf * c + gi * gg
+        h = go * jnp.tanh(c)
+        h_out_ref[:, l * H : (l + 1) * H] = h
+        c_out_ref[:, l * H : (l + 1) * H] = c
+        x = h  # feeds the next layer
 
     if kind == "discrete":
         A, n = action_meta
@@ -122,13 +131,25 @@ def fused_rnn_act(
     """
     from ..models import DefaultDiscreteRecurrentModel
 
-    lstm = params["lstm"]["lstm_0"]
-    wi = jnp.concatenate([lstm[f"i{g}"]["kernel"] for g in _GATES], axis=1)
-    wh = jnp.concatenate([lstm[f"h{g}"]["kernel"] for g in _GATES], axis=1)
-    b = jnp.concatenate([lstm[f"h{g}"]["bias"] for g in _GATES]).reshape(1, -1)
-    H = wh.shape[0]
-    h0 = states[DataKeys.HIDDEN_STATES][:, 0]
-    c0 = states[DataKeys.CELL_STATES][:, 0]
+    K = model.num_layers
+    lstm_params = []
+    for l in range(K):
+        cell = params["lstm"][f"lstm_{l}"]
+        lstm_params.append(
+            jnp.concatenate([cell[f"i{g}"]["kernel"] for g in _GATES], axis=1)
+        )
+        lstm_params.append(
+            jnp.concatenate([cell[f"h{g}"]["kernel"] for g in _GATES], axis=1)
+        )
+        lstm_params.append(
+            jnp.concatenate(
+                [cell[f"h{g}"]["bias"] for g in _GATES]
+            ).reshape(1, -1)
+        )
+    H = lstm_params[1].shape[0]
+    bsz0 = states[DataKeys.HIDDEN_STATES].shape[0]
+    h0 = states[DataKeys.HIDDEN_STATES].reshape(bsz0, K * H)
+    c0 = states[DataKeys.CELL_STATES].reshape(bsz0, K * H)
 
     discrete = type(model) is DefaultDiscreteRecurrentModel
     if discrete:
@@ -160,40 +181,38 @@ def fused_rnn_act(
     )
     actions, logp, values, h_n, c_n = pl.pallas_call(
         functools.partial(
-            _kernel, (H, kind, action_meta, deterministic, squashed)
+            _kernel, (H, K, kind, action_meta, deterministic, squashed)
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             row(obs.shape[1]),
-            row(H),
-            row(H),
-            full(wi),
-            full(wh),
-            full(b),
+            row(K * H),
+            row(K * H),
+            *[full(p) for p in lstm_params],
             *[full(p) for p in heads],
         ],
         out_specs=[
             row(action_dim),
             row(1),
             row(1),
-            row(H),
-            row(H),
+            row(K * H),
+            row(K * H),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, action_dim), action_dtype),
             jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, H), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, H), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, K * H), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, K * H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seed, obs, h0, c0, wi, wh, b, *heads)
+    )(seed, obs, h0, c0, *lstm_params, *heads)
     new_states = {
-        DataKeys.HIDDEN_STATES: h_n[:, None],
-        DataKeys.CELL_STATES: c_n[:, None],
+        DataKeys.HIDDEN_STATES: h_n.reshape(bsz, K, H),
+        DataKeys.CELL_STATES: c_n.reshape(bsz, K, H),
     }
     return actions, logp, values, new_states

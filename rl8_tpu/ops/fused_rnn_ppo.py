@@ -17,8 +17,8 @@ loss with equal weight).
 
 Supported: ``DefaultDiscreteRecurrentModel`` + ``Categorical`` and
 ``DefaultContinuousRecurrentModel`` + ``Normal``/``SquashedNormal``
-(zero entropy), with ``num_layers == 1``; everything else falls back to
-the flax autodiff path.
+(zero entropy), stacked LSTMs up to 8 layers; everything else falls
+back to the flax autodiff path.
 """
 
 from __future__ import annotations
@@ -60,16 +60,16 @@ def supports_fused_rnn_update(
         )
     else:
         return False
-    return ok and model.num_layers == 1 and bool(model.bias)
+    return ok and 1 <= model.num_layers <= 8 and bool(model.bias)
 
 
-def _rnn_tile(n: int, hidden: int, seq_len: int) -> int:
+def _rnn_tile(n: int, hidden: int, seq_len: int, num_layers: int) -> int:
     """Row-tile size bounded by the BPTT saves: the backward holds ~8
-    f32 ``[tile, H]`` tensors per timestep in VMEM, so the tile shrinks
-    with ``hidden * seq_len`` to stay within the kernel's VMEM budget
-    for any supported config (e.g. seq_len=32, hidden=512)."""
+    f32 ``[tile, H]`` tensors per (timestep, layer) in VMEM, so the tile
+    shrinks with ``hidden * seq_len * num_layers`` to stay within the
+    kernel's VMEM budget for any supported config."""
     budget = 48 * 1024 * 1024  # leave room for weights/gates/douts
-    per_row = 8 * 4 * hidden * seq_len
+    per_row = 8 * 4 * hidden * seq_len * num_layers
     tile = max(8, min(512, (budget // max(per_row, 1)) // 8 * 8))
     return min(tile, -(-n // 8) * 8)
 
@@ -77,24 +77,22 @@ def _rnn_tile(n: int, hidden: int, seq_len: int) -> int:
 def _kernel(
     cfg: PPOLossConfig,
     cols,
-    dims,  # (d_in, H, L, kind, action_meta)
+    dims,  # (d_in, H, L, K, kind, action_meta)
     packed_ref,
     ec_ref,
-    wi_ref,
-    wh_ref,
-    b_ref,
     *refs,
 ):
-    d_in, H, L, kind, action_meta = dims
-    # Head params: discrete -> (W_pi, b_pi, W_v, b_v); continuous adds
-    # the log_std head.
+    d_in, H, L, K, kind, action_meta = dims
+    # Ref layout: per-layer (wi, wh, b) x K, then head params, then
+    # transposed head weights; outputs mirror the parameter layout.
     n_heads = 3 if kind != "discrete" else 2
-    head_refs = refs[: 2 * n_heads]
-    head_wt_refs = refs[2 * n_heads : 3 * n_heads]
-    out = refs[3 * n_heads :]
-    dwi_ref, dwh_ref, db_ref = out[0], out[1], out[2]
-    dhead_refs = out[3 : 3 + 2 * n_heads]
-    stats_ref = out[3 + 2 * n_heads]
+    lstm_refs = refs[: 3 * K]
+    head_refs = refs[3 * K : 3 * K + 2 * n_heads]
+    head_wt_refs = refs[3 * K + 2 * n_heads : 3 * K + 3 * n_heads]
+    out = refs[3 * K + 3 * n_heads :]
+    dlstm_refs = out[: 3 * K]
+    dhead_refs = out[3 * K : 3 * K + 2 * n_heads]
+    stats_ref = out[3 * K + 2 * n_heads]
 
     tile = packed_ref.shape[0]
     valid = _row_mask(cfg.n_rows, tile)
@@ -105,8 +103,8 @@ def _kernel(
         return pltpu.bitcast(packed[:, sl[0] : sl[1]], jnp.float32)
 
     obs = fcols(obs_sl)  # [tile, L * d_in]
-    h = fcols(h_sl)  # [tile, H]
-    c = fcols(c_sl)
+    h_cols = fcols(h_sl)  # [tile, K * H]
+    c_cols = fcols(c_sl)
     logp_all = fcols(logp_sl)  # [tile, L]
     adv_all = fcols(adv_sl)
     ret_all = fcols(ret_sl)
@@ -116,14 +114,18 @@ def _kernel(
         actions = fcols(act_sl)
     if valid is not None:
         obs = jnp.where(valid, obs, 0.0)
-        h = jnp.where(valid, h, 0.0)
-        c = jnp.where(valid, c, 0.0)
+        h_cols = jnp.where(valid, h_cols, 0.0)
+        c_cols = jnp.where(valid, c_cols, 0.0)
         logp_all = jnp.where(valid, logp_all, 0.0)
         adv_all = jnp.where(valid, adv_all, 0.0)
         ret_all = jnp.where(valid, ret_all, 0.0)
         actions = jnp.where(valid, actions, 0 if kind == "discrete" else 0.0)
 
-    wi, wh, b = wi_ref[:], wh_ref[:], b_ref[:]
+    wi = [lstm_refs[3 * l][:] for l in range(K)]
+    wh = [lstm_refs[3 * l + 1][:] for l in range(K)]
+    b = [lstm_refs[3 * l + 2][:] for l in range(K)]
+    hs = [h_cols[:, l * H : (l + 1) * H] for l in range(K)]
+    cs = [c_cols[:, l * H : (l + 1) * H] for l in range(K)]
     ec = ec_ref[0, 0]
     scale = 1.0 / (cfg.n_rows * L * cfg.accum)
 
@@ -135,17 +137,21 @@ def _kernel(
     ent_sum = jnp.zeros((), jnp.float32)
     kl_sum = jnp.zeros((), jnp.float32)
     for t in range(L):
-        x_t = obs[:, t * d_in : (t + 1) * d_in]
-        z = _dot(x_t, wi) + _dot(h, wh) + b
-        gi = jax.nn.sigmoid(z[:, 0:H])
-        gf = jax.nn.sigmoid(z[:, H : 2 * H])
-        gg = jnp.tanh(z[:, 2 * H : 3 * H])
-        go = jax.nn.sigmoid(z[:, 3 * H : 4 * H])
-        c_new = gf * c + gi * gg
-        tc = jnp.tanh(c_new)
-        h_new = go * tc
-        saves.append((x_t, h, c, gi, gf, gg, go, tc))
-        h, c = h_new, c_new
+        x = obs[:, t * d_in : (t + 1) * d_in]
+        layer_saves = []
+        for l in range(K):
+            z = _dot(x, wi[l]) + _dot(hs[l], wh[l]) + b[l]
+            gi = jax.nn.sigmoid(z[:, 0:H])
+            gf = jax.nn.sigmoid(z[:, H : 2 * H])
+            gg = jnp.tanh(z[:, 2 * H : 3 * H])
+            go = jax.nn.sigmoid(z[:, 3 * H : 4 * H])
+            c_new = gf * cs[l] + gi * gg
+            tc = jnp.tanh(c_new)
+            layer_saves.append((x, hs[l], cs[l], gi, gf, gg, go, tc))
+            hs[l], cs[l] = go * tc, c_new
+            x = hs[l]  # the layer above consumes this layer's output
+        saves.append(layer_saves)
+        h = hs[-1]
 
         old_logp = logp_all[:, t : t + 1]
         adv = adv_all[:, t : t + 1]
@@ -253,45 +259,53 @@ def _kernel(
         if cfg.use_entropy and ent_rows is not None:
             ent_sum = ent_sum + jnp.sum(ent_rows)
 
-    # ---------------- backward: heads + BPTT --------------------------
+    # ---------------- backward: heads + stacked BPTT ------------------
     _acc = _make_acc()
 
-    dwi = None
-    dwh = None
-    dbias = None
+    dwi = [None] * K
+    dwh = [None] * K
+    dbias = [None] * K
     dheads = [None] * (2 * n_heads)
-    dh_next = jnp.zeros((tile, H), jnp.float32)
-    dc_next = jnp.zeros((tile, H), jnp.float32)
+    dh_time = [jnp.zeros((tile, H), jnp.float32) for _ in range(K)]
+    dc_time = [jnp.zeros((tile, H), jnp.float32) for _ in range(K)]
     for t in range(L - 1, -1, -1):
-        x_t, h_prev, c_prev, gi, gf, gg, go, tc = saves[t]
-        h_t = go * tc
-        dh = dh_next
+        # Head cotangents enter the TOP layer's output at step t.
+        _, _, _, _, _, _, go_top, tc_top = saves[t][K - 1]
+        h_top = go_top * tc_top
+        dh_head = jnp.zeros((tile, H), jnp.float32)
         for j, dout in enumerate(douts[t]):
-            dW = _dot_t(h_t, dout)
+            dW = _dot_t(h_top, dout)
             db_h = jnp.sum(dout, axis=0, keepdims=True)
             dheads[2 * j] = dW if dheads[2 * j] is None else dheads[2 * j] + dW
             dheads[2 * j + 1] = (
                 db_h if dheads[2 * j + 1] is None else dheads[2 * j + 1] + db_h
             )
-            dh = dh + _dot(dout, head_wt_refs[j][:])
-        dc = dh * go * (1.0 - tc * tc) + dc_next
-        do_z = dh * tc * go * (1.0 - go)
-        di_z = dc * gg * gi * (1.0 - gi)
-        df_z = dc * c_prev * gf * (1.0 - gf)
-        dg_z = dc * gi * (1.0 - gg * gg)
-        dz = jnp.concatenate([di_z, df_z, dg_z, do_z], axis=1)  # [tile, 4H]
-        dwi_t = _dot_t(x_t, dz)
-        dwh_t = _dot_t(h_prev, dz)
-        db_t = jnp.sum(dz, axis=0, keepdims=True)
-        dwi = dwi_t if dwi is None else dwi + dwi_t
-        dwh = dwh_t if dwh is None else dwh + dwh_t
-        dbias = db_t if dbias is None else dbias + db_t
-        dh_next = _dot_bt(dz, wh)
-        dc_next = dc * gf
+            dh_head = dh_head + _dot(dout, head_wt_refs[j][:])
+        dx_above = None  # cotangent flowing into layer l's output from layer l+1
+        for l in range(K - 1, -1, -1):
+            x_in, h_prev, c_prev, gi, gf, gg, go, tc = saves[t][l]
+            dh = dh_time[l] + (dh_head if l == K - 1 else dx_above)
+            dc = dh * go * (1.0 - tc * tc) + dc_time[l]
+            do_z = dh * tc * go * (1.0 - go)
+            di_z = dc * gg * gi * (1.0 - gi)
+            df_z = dc * c_prev * gf * (1.0 - gf)
+            dg_z = dc * gi * (1.0 - gg * gg)
+            dz = jnp.concatenate([di_z, df_z, dg_z, do_z], axis=1)  # [tile, 4H]
+            dwi_t = _dot_t(x_in, dz)
+            dwh_t = _dot_t(h_prev, dz)
+            db_t = jnp.sum(dz, axis=0, keepdims=True)
+            dwi[l] = dwi_t if dwi[l] is None else dwi[l] + dwi_t
+            dwh[l] = dwh_t if dwh[l] is None else dwh[l] + dwh_t
+            dbias[l] = db_t if dbias[l] is None else dbias[l] + db_t
+            dh_time[l] = _dot_bt(dz, wh[l])
+            dc_time[l] = dc * gf
+            if l > 0:
+                dx_above = _dot_bt(dz, wi[l])
 
-    _acc(dwi_ref, dwi)
-    _acc(dwh_ref, dwh)
-    _acc(db_ref, dbias)
+    for l in range(K):
+        _acc(dlstm_refs[3 * l], dwi[l])
+        _acc(dlstm_refs[3 * l + 1], dwh[l])
+        _acc(dlstm_refs[3 * l + 2], dbias[l])
     for j in range(2 * n_heads):
         _acc(dhead_refs[j], dheads[j])
     zero = jnp.zeros((1, 1), jnp.float32)
@@ -358,12 +372,23 @@ def fused_rnn_ppo_grads(
         _cols(idx[DataKeys.RETURNS]),
     )
 
-    lstm = params["lstm"]["lstm_0"]
-    wi = jnp.concatenate([lstm[f"i{g}"]["kernel"] for g in _GATES], axis=1)
-    wh = jnp.concatenate([lstm[f"h{g}"]["kernel"] for g in _GATES], axis=1)
-    b = jnp.concatenate([lstm[f"h{g}"]["bias"] for g in _GATES]).reshape(1, -1)
-    d_in = wi.shape[0]
-    H = wh.shape[0]
+    K = model.num_layers
+    lstm_params = []
+    for l in range(K):
+        cell = params["lstm"][f"lstm_{l}"]
+        lstm_params.append(
+            jnp.concatenate([cell[f"i{g}"]["kernel"] for g in _GATES], axis=1)
+        )
+        lstm_params.append(
+            jnp.concatenate([cell[f"h{g}"]["kernel"] for g in _GATES], axis=1)
+        )
+        lstm_params.append(
+            jnp.concatenate(
+                [cell[f"h{g}"]["bias"] for g in _GATES]
+            ).reshape(1, -1)
+        )
+    d_in = lstm_params[0].shape[0]
+    H = lstm_params[1].shape[0]
 
     discrete = type(model) is DefaultDiscreteRecurrentModel
     if discrete:
@@ -383,21 +408,19 @@ def fused_rnn_ppo_grads(
     rows = packed_mb.shape[0]
     # seq_len from the logp column width.
     L = cols[4][1] - cols[4][0]
-    tile = _rnn_tile(rows, H, L)
+    tile = _rnn_tile(rows, H, L, K)
     grid = (pl.cdiv(rows, tile),)
     ec = jnp.asarray(entropy_coeff, dtype=jnp.float32).reshape(1, 1)
 
     full = lambda p: pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     dparam_shapes = [
-        jax.ShapeDtypeStruct(wi.shape, jnp.float32),
-        jax.ShapeDtypeStruct(wh.shape, jnp.float32),
-        jax.ShapeDtypeStruct(b.shape, jnp.float32),
+        *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in lstm_params],
         *[jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in heads],
     ]
     out_shapes = [*dparam_shapes, jax.ShapeDtypeStruct((1, 8), jnp.float32)]
     outs = pl.pallas_call(
         functools.partial(
-            _kernel, cfg, cols, (d_in, H, L, kind, action_meta)
+            _kernel, cfg, cols, (d_in, H, L, K, kind, action_meta)
         ),
         grid=grid,
         in_specs=[
@@ -406,16 +429,12 @@ def fused_rnn_ppo_grads(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            full(wi),
-            full(wh),
-            full(b),
+            *[full(p) for p in lstm_params],
             *[full(p) for p in heads],
             *[full(w) for w in head_wts],
         ],
         out_specs=[
-            full(wi),
-            full(wh),
-            full(b),
+            *[full(p) for p in lstm_params],
             *[full(p) for p in heads],
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -424,10 +443,10 @@ def fused_rnn_ppo_grads(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(packed_mb, ec, wi, wh, b, *heads, *head_wts)
+    )(packed_mb, ec, *lstm_params, *heads, *head_wts)
 
-    dwi, dwh, db = outs[0], outs[1], outs[2]
-    dheads = outs[3 : 3 + len(heads)]
+    dlstm = outs[: 3 * K]
+    dheads = outs[3 * K : 3 * K + len(heads)]
     stats = outs[-1][0]
     n = float(cfg.n_rows * L)
     policy_loss = stats[0] / n
@@ -445,14 +464,18 @@ def fused_rnn_ppo_grads(
     }
 
     # Rebuild the params-tree gradient: split the fused gate grads.
-    lstm_grads: dict[str, Any] = {}
-    for k, g in enumerate(_GATES):
-        lstm_grads[f"i{g}"] = {"kernel": dwi[:, k * H : (k + 1) * H]}
-        lstm_grads[f"h{g}"] = {
-            "kernel": dwh[:, k * H : (k + 1) * H],
-            "bias": db[0, k * H : (k + 1) * H],
-        }
-    grads: dict[str, Any] = {"lstm": {"lstm_0": lstm_grads}}
+    lstm_tree: dict[str, Any] = {}
+    for l in range(K):
+        dwi, dwh, db = dlstm[3 * l], dlstm[3 * l + 1], dlstm[3 * l + 2]
+        cell_grads: dict[str, Any] = {}
+        for k, g in enumerate(_GATES):
+            cell_grads[f"i{g}"] = {"kernel": dwi[:, k * H : (k + 1) * H]}
+            cell_grads[f"h{g}"] = {
+                "kernel": dwh[:, k * H : (k + 1) * H],
+                "bias": db[0, k * H : (k + 1) * H],
+            }
+        lstm_tree[f"lstm_{l}"] = cell_grads
+    grads: dict[str, Any] = {"lstm": lstm_tree}
     for j, name in enumerate(head_names):
         w, bias = params[name]["kernel"], params[name]["bias"]
         grads[name] = {

@@ -407,6 +407,7 @@ def test_fused_act_deterministic_and_logp_consistency() -> None:
         ("discrete", True, 3.0),
         ("continuous", True, 2.0),
         ("squashed", False, None),
+        ("discrete2layer", False, None),
     ],
 )
 def test_fused_rnn_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
@@ -425,9 +426,11 @@ def test_fused_rnn_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
     from rl8_tpu.specs import Discrete, Unbounded
 
     N, L = 37, 4  # non-multiple-of-8 rows exercise masking
-    if kind == "discrete":
+    num_layers = 2 if kind == "discrete2layer" else 1
+    if kind.startswith("discrete"):
         model = DefaultDiscreteRecurrentModel(
-            Unbounded(3), Discrete(3, shape=(2,)), hidden_size=16
+            Unbounded(3), Discrete(3, shape=(2,)), hidden_size=16,
+            num_layers=num_layers,
         )
         dist_cls = Categorical
         actions = jax.random.randint(jax.random.key(7), (N, L, 2), 0, 3)
@@ -443,9 +446,9 @@ def test_fused_rnn_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
     obs = jax.random.normal(jax.random.key(3), (N, L, 3))
     states = {
         DataKeys.HIDDEN_STATES: 0.3
-        * jax.random.normal(jax.random.key(9), (N, 1, 16)),
+        * jax.random.normal(jax.random.key(9), (N, num_layers, 16)),
         DataKeys.CELL_STATES: 0.3
-        * jax.random.normal(jax.random.key(10), (N, 1, 16)),
+        * jax.random.normal(jax.random.key(10), (N, num_layers, 16)),
     }
     params = model.init(jax.random.key(0), {DataKeys.OBS: obs}, states)["params"]
     params = jax.tree_util.tree_map(
@@ -519,11 +522,15 @@ def test_supports_fused_rnn_update_gating() -> None:
     assert supports_fused_rnn_update(cont, Normal)
     assert not supports_fused_rnn_update(cont, SquashedNormal)
     assert supports_fused_rnn_update(cont, SquashedNormal, zero_entropy=True)
-    # Multi-layer LSTMs fall back to autodiff.
+    # Stacked LSTMs are fused up to 8 layers; deeper falls back.
     deep = DefaultDiscreteRecurrentModel(
         Unbounded(3), Discrete(3, shape=(1,)), num_layers=2
     )
-    assert not supports_fused_rnn_update(deep, Categorical)
+    assert supports_fused_rnn_update(deep, Categorical)
+    too_deep = DefaultDiscreteRecurrentModel(
+        Unbounded(3), Discrete(3, shape=(1,)), num_layers=9
+    )
+    assert not supports_fused_rnn_update(too_deep, Categorical)
 
 
 def test_fused_rnn_act_deterministic_matches_flax() -> None:
