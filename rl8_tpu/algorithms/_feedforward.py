@@ -40,7 +40,9 @@ from ..nn import generalized_advantage_estimate, ppo_losses
 from ..policies import Policy
 from ..schedulers import EntropyScheduler, LRScheduler, ScheduleKind
 from ..specs import assert_nd_spec
+from ..utils import get_nested as _tree_get
 from ..utils import profile_ms
+from ..utils import set_nested as _set_nested
 from ._base import GenericAlgorithmBase
 
 __all__ = ["AlgorithmConfig", "Algorithm"]
@@ -170,22 +172,6 @@ def _t2b(x: jax.Array) -> jax.Array:
     return moved.reshape(-1, *moved.shape[2:])
 
 
-def _tree_get(tree: Any, key: str | tuple[str, ...]) -> Any:
-    if isinstance(key, tuple):
-        for k in key:
-            tree = tree[k]
-        return tree
-    return tree[key]
-
-
-def _set_nested(out: dict, key: str | tuple[str, ...], value: Any) -> None:
-    if isinstance(key, tuple):
-        d = out
-        for k in key[:-1]:
-            d = d.setdefault(k, {})
-        d[key[-1]] = value
-    else:
-        out[key] = value
 
 
 class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):

@@ -173,8 +173,11 @@ class SquashedNormal(Normal):
             axis=-1,
             keepdims=True,
         )
+        # The log-det term uses the clipped value too: raw samples a hair
+        # outside [-1, 1] (bf16 round trips, replayed data) would make
+        # 1 - s^2 negative and the log NaN.
         logp -= jnp.sum(
-            jnp.log(1.0 - jnp.square(samples) + eps), axis=-1, keepdims=True
+            jnp.log(1.0 - jnp.square(clipped) + eps), axis=-1, keepdims=True
         )
         return logp
 

@@ -20,6 +20,7 @@ from ..data import DataKeys
 from ..nn.modules import MLP, get_activation
 from ..specs import Discrete, Spec, Unbounded, assert_1d_spec
 from ..views import ViewKind, ViewRequirement
+from ..utils import set_nested as _set_nested
 from ._base import GenericModelBase
 
 __all__ = [
@@ -42,14 +43,6 @@ def small_uniform_init(scale: float = 1e-3) -> Any:
     return init
 
 
-def _set_nested(out: dict, key: str | tuple[str, ...], value: Any) -> None:
-    if isinstance(key, tuple):
-        d = out
-        for k in key[:-1]:
-            d = d.setdefault(k, {})
-        d[key[-1]] = value
-    else:
-        out[key] = value
 
 
 class Model(GenericModelBase):

@@ -133,9 +133,9 @@ def masked_avg(
     features (``/root/reference/src/rl8/nn/functional.py:147-179``)."""
     if mask is not None:
         mask = _broadcast_mask(mask, x).astype(x.dtype)
-        avg = jnp.sum(mask * x, axis=dim, keepdims=True) / jnp.sum(
-            mask, axis=dim, keepdims=True
-        )
+        # Fully-masked rows average to 0 rather than NaN (0/0).
+        denom = jnp.maximum(jnp.sum(mask, axis=dim, keepdims=True), 1e-9)
+        avg = jnp.sum(mask * x, axis=dim, keepdims=True) / denom
     else:
         avg = jnp.mean(x, axis=dim, keepdims=True)
     if not keepdim:

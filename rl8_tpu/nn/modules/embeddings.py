@@ -19,7 +19,8 @@ def sinusoidal_embedding(max_len: int, embed_dim: int) -> np.ndarray:
     div = np.exp(-np.log(10_000.0) / embed_dim * np.arange(0, embed_dim, 2))
     pe = np.zeros((max_len, embed_dim), dtype=np.float32)
     pe[:, 0::2] = np.sin(pos * div)
-    pe[:, 1::2] = np.cos(pos * div)
+    # Odd embed dims have one fewer cos column than sin columns.
+    pe[:, 1::2] = np.cos(pos * div)[:, : embed_dim // 2]
     return pe
 
 

@@ -61,7 +61,7 @@ def squashed_normal_logp(
     logp = jnp.sum(
         jnp.clip(per_dim, -100.0, 100.0), axis=1, keepdims=True
     ) - jnp.sum(
-        jnp.log(1.0 - actions * actions + SQUASH_EPS), axis=1, keepdims=True
+        jnp.log(1.0 - clipped * clipped + SQUASH_EPS), axis=1, keepdims=True
     )
     return logp, diff, grad_gate
 

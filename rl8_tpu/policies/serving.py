@@ -107,7 +107,9 @@ class PolicyModel:
             DataKeys.LOGP: out[DataKeys.LOGP],
             DataKeys.VALUES: out[DataKeys.VALUES],
         }
-        return _to_dataframe(selected, B * T)
+        # Sample-dropping view requirements shrink the output batch.
+        rows = B * (T - self.policy.model.drop_size)
+        return _to_dataframe(selected, rows)
 
 
 class RecurrentPolicyModel:

@@ -181,8 +181,8 @@ class GenericTrainerBase(Generic[_Algorithm]):
         ):
             raise ValueError(
                 f"{self.eval.__qualname__} can only be called every"
-                " `horizons_per_env_reset`. Set `steps_per_eval` to a factor"
-                " of `horizons_per_env_reset` to avoid this error."
+                " `horizons_per_env_reset`. Set `steps_per_eval` to a"
+                " multiple of `horizons_per_env_reset` to avoid this error."
             )
         if fused_steps and steps_per_eval and steps_per_eval % fused_steps:
             raise ValueError(

@@ -33,20 +33,26 @@ def _import(name: str) -> Any:
     import importlib
 
     components = name.split(".")
+    mod: Any = None
+    split = len(components)
+    while split > 0:
+        prefix = ".".join(components[:split])
+        try:
+            mod = importlib.import_module(prefix)
+            break
+        except ModuleNotFoundError as e:
+            # Only treat "this prefix isn't a module" as a miss; a
+            # ModuleNotFoundError raised from INSIDE a located module (a
+            # missing third-party dependency) must surface as-is.
+            if e.name is not None and not prefix.startswith(e.name):
+                raise
+            split -= 1
+    if mod is None:
+        raise ImportError(f"Could not dynamically import {name}.")
     try:
-        mod: Any = None
-        split = len(components)
-        while split > 0:
-            try:
-                mod = importlib.import_module(".".join(components[:split]))
-                break
-            except ModuleNotFoundError:
-                split -= 1
-        if mod is None:
-            raise ModuleNotFoundError(name)
         for comp in components[split:]:
             mod = getattr(mod, comp)
-    except (AttributeError, ModuleNotFoundError, ValueError) as e:
+    except AttributeError as e:
         raise ImportError(f"Could not dynamically import {name}.") from e
     return mod
 

@@ -18,8 +18,32 @@ __all__ = [
     "profile_ms",
     "reduce_stats",
     "memory_stats",
+    "get_nested",
+    "set_nested",
     "CumulativeAverage",
 ]
+
+
+def get_nested(tree: Any, key: "str | tuple[str, ...]") -> Any:
+    """Fetch ``tree[key]`` where ``key`` may be a tuple path into nested
+    mappings (the view-requirement key convention)."""
+    if isinstance(key, tuple):
+        for k in key:
+            tree = tree[k]
+        return tree
+    return tree[key]
+
+
+def set_nested(out: dict, key: "str | tuple[str, ...]", value: Any) -> None:
+    """Set ``out[key] = value`` where ``key`` may be a tuple path,
+    creating intermediate dicts."""
+    if isinstance(key, tuple):
+        d = out
+        for k in key[:-1]:
+            d = d.setdefault(k, {})
+        d[key[-1]] = value
+    else:
+        out[key] = value
 
 
 @contextmanager

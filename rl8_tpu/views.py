@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .data import DataKeys
+from .utils import get_nested
 
 __all__ = [
     "ViewKind",
@@ -57,8 +58,8 @@ class View(Protocol):
 
 
 def _tree_map(fn, x: Batch) -> Batch:
-    if isinstance(x, jax.Array) or hasattr(x, "shape"):
-        return fn(x)
+    # jax arrays are pytree leaves, so plain tree_map covers both the
+    # bare-array and nested-mapping cases.
     return jax.tree_util.tree_map(fn, x)
 
 
@@ -168,13 +169,6 @@ class PaddedRollingWindow:
         return 0
 
 
-def _get_key(batch: Batch, key: str | tuple[str, ...]) -> Any:
-    if isinstance(key, tuple):
-        item = batch
-        for k in key:
-            item = item[k]
-        return item
-    return batch[key]
 
 
 class ViewRequirement:
@@ -213,7 +207,7 @@ class ViewRequirement:
         With ``shift == 0`` this is a plain ``[B, T, ...] -> [B * T, ...]``
         flatten.
         """
-        item = _get_key(batch, key)
+        item = get_nested(batch, key)
         item = jax.lax.stop_gradient(item)
         if not self.shift:
             return _tree_map(lambda t: t.reshape(-1, *t.shape[2:]), item)
@@ -225,7 +219,7 @@ class ViewRequirement:
 
         With ``shift == 0`` this selects ``[:, -1]``.
         """
-        item = _get_key(batch, key)
+        item = get_nested(batch, key)
         item = jax.lax.stop_gradient(item)
         if not self.shift:
             return _tree_map(lambda t: t[:, -1, ...], item)

@@ -138,3 +138,25 @@ def test_import_reaches_unimported_submodules(tmp_path) -> None:
             _import("cfgpkg.nope.mod.Thing")
     finally:
         sys.path.remove(str(tmp_path))
+
+
+def test_import_surfaces_nested_dependency_errors(tmp_path) -> None:
+    """A ModuleNotFoundError raised from INSIDE a located module (a
+    missing third-party dependency) must not be masked by the generic
+    dotted-path ImportError."""
+    import sys
+
+    from rl8_tpu.trainers.config import _import
+
+    pkg = tmp_path / "badpkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("import definitely_not_a_real_pkg\n")
+    sys.path.insert(0, str(tmp_path))
+    try:
+        for mod in list(sys.modules):
+            if mod.startswith("badpkg"):
+                del sys.modules[mod]
+        with pytest.raises(ModuleNotFoundError, match="definitely_not_a_real_pkg"):
+            _import("badpkg.Thing")
+    finally:
+        sys.path.remove(str(tmp_path))

@@ -77,3 +77,22 @@ def test_sampling_statistics() -> None:
     s = dist.sample(jax.random.key(0))
     assert abs(float(jnp.mean(s)) - 1.0) < 0.02
     assert abs(float(jnp.std(s)) - np.exp(-1.0)) < 0.02
+
+
+def test_squashed_normal_logp_finite_just_outside_support() -> None:
+    """Samples a hair outside [-1, 1] (bf16 round trips, replayed data)
+    must clip into support rather than producing NaN log-probs."""
+    import numpy as np
+
+    from rl8_tpu.distributions import SquashedNormal
+
+    features = {
+        "mean": jnp.zeros((3, 2)),
+        "log_std": jnp.zeros((3, 2)),
+    }
+    dist = SquashedNormal(features, None)
+    samples = jnp.array(
+        [[1.0 + 1e-7, -1.0 - 1e-7], [1.0, -1.0], [0.5, -0.5]]
+    )
+    logp = dist.logp(samples)
+    assert bool(jnp.all(jnp.isfinite(logp))), np.asarray(logp)

@@ -135,3 +135,15 @@ def test_recurrent_state_propagation_matters() -> None:
     stepped = jnp.stack(step_logits, axis=1).reshape(B * T, 1, 2)
     full = full_features["logits"].reshape(B, T, 1, 2).reshape(B * T, 1, 2)
     assert jnp.allclose(stepped, full, atol=1e-5)
+
+
+def test_positional_embedding_odd_dim() -> None:
+    """Odd embedding dims have one fewer cos column (regression: shape
+    broadcast crash at table construction)."""
+    from rl8_tpu.nn.modules.embeddings import PositionalEmbedding
+
+    mod = PositionalEmbedding(embed_dim=5, max_len=8)
+    x = jnp.zeros((2, 4, 5))
+    out = mod.apply({}, x)
+    assert out.shape == (2, 4, 5)
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -243,3 +243,14 @@ def test_skip_connection() -> None:
     )
     with pytest.raises(ValueError):
         skip_connection(x, y, kind="bogus")
+
+
+def test_masked_avg_fully_masked_rows_are_zero_not_nan() -> None:
+    from rl8_tpu.nn.functional import masked_avg
+
+    x = jnp.ones((2, 3, 4))
+    mask = jnp.array([[True, True, False], [False, False, False]])
+    out = masked_avg(x, mask=mask, dim=1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0)
+    np.testing.assert_allclose(np.asarray(out[0]), 1.0)
