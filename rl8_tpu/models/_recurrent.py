@@ -95,6 +95,8 @@ class _StackedLSTM(nn.Module):
 
     hidden_size: int
     num_layers: int
+    #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU AMP.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -103,7 +105,9 @@ class _StackedLSTM(nn.Module):
         hs, cs = [], []
         out = x
         for layer in range(self.num_layers):
-            cell = nn.OptimizedLSTMCell(self.hidden_size, name=f"lstm_{layer}")
+            cell = nn.OptimizedLSTMCell(
+                self.hidden_size, dtype=self.dtype, name=f"lstm_{layer}"
+            )
             (c_n, h_n), out = nn.RNN(cell, name=f"rnn_{layer}")(
                 out,
                 initial_carry=(c0[:, layer], h0[:, layer]),
@@ -148,21 +152,25 @@ class DefaultContinuousRecurrentModel(GenericRecurrentModel):
         h0 = states[DataKeys.HIDDEN_STATES]
         c0 = states[DataKeys.CELL_STATES]
         latents, h_n, c_n = _StackedLSTM(
-            self.hidden_size, self.num_layers, name="lstm"
+            self.hidden_size, self.num_layers, dtype=self.dtype, name="lstm"
         )(obs, h0, c0)
         mean = nn.Dense(
             action_dim,
             kernel_init=small_uniform_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="action_mean",
         )(latents).reshape(-1, action_dim)
         log_std = nn.Dense(
             action_dim,
             kernel_init=small_uniform_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="action_log_std",
         )(latents).reshape(-1, action_dim)
-        values = nn.Dense(1, use_bias=self.bias, name="vf_model")(latents).reshape(-1, 1)
+        values = nn.Dense(
+            1, use_bias=self.bias, dtype=self.dtype, name="vf_model"
+        )(latents).reshape(-1, 1)
         features = {
             "mean": mean.astype(jnp.float32),
             "log_std": jnp.tanh(log_std).astype(jnp.float32),
@@ -200,15 +208,18 @@ class DefaultDiscreteRecurrentModel(GenericRecurrentModel):
         h0 = states[DataKeys.HIDDEN_STATES]
         c0 = states[DataKeys.CELL_STATES]
         latents, h_n, c_n = _StackedLSTM(
-            self.hidden_size, self.num_layers, name="lstm"
+            self.hidden_size, self.num_layers, dtype=self.dtype, name="lstm"
         )(obs, h0, c0)
         logits = nn.Dense(
             action_dim * n,
             kernel_init=small_uniform_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="feature_head",
         )(latents).reshape(-1, action_dim, n)
-        values = nn.Dense(1, use_bias=self.bias, name="vf_head")(latents).reshape(-1, 1)
+        values = nn.Dense(
+            1, use_bias=self.bias, dtype=self.dtype, name="vf_head"
+        )(latents).reshape(-1, 1)
         new_states = {
             DataKeys.HIDDEN_STATES: h_n.astype(jnp.float32),
             DataKeys.CELL_STATES: c_n.astype(jnp.float32),

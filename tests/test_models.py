@@ -147,3 +147,33 @@ def test_positional_embedding_odd_dim() -> None:
     out = mod.apply({}, x)
     assert out.shape == (2, 4, 5)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_recurrent_amp_dtype_threads_through() -> None:
+    """enable_amp's bf16 dtype must reach the LSTM cells and heads (it
+    was silently a no-op: only the observations were cast)."""
+    from rl8_tpu.models import DefaultDiscreteRecurrentModel
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    model = DefaultDiscreteRecurrentModel(
+        Unbounded(3), Discrete(2, shape=(1,)), hidden_size=8,
+        dtype=jnp.bfloat16,
+    )
+    obs = jnp.zeros((4, 2, 3))
+    states = {
+        DataKeys.HIDDEN_STATES: jnp.zeros((4, 1, 8)),
+        DataKeys.CELL_STATES: jnp.zeros((4, 1, 8)),
+    }
+    params = model.init(jax.random.key(0), {DataKeys.OBS: obs}, states)["params"]
+    # Params stay f32; compute runs bf16 and outputs cast back to f32.
+    assert all(
+        p.dtype == jnp.float32 for p in jax.tree_util.tree_leaves(params)
+    )
+    lowered = jax.jit(
+        lambda p: model.apply({"params": p}, {DataKeys.OBS: obs}, states)
+    ).lower(params)
+    text = lowered.as_text()
+    assert "bf16" in text, "no bf16 compute found in the lowered module"
+    (f, v), new_states = model.apply({"params": params}, {DataKeys.OBS: obs}, states)
+    assert f["logits"].dtype == jnp.float32
+    assert v.dtype == jnp.float32
