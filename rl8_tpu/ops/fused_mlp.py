@@ -422,10 +422,19 @@ def _head(params: Any, name: str) -> tuple[jax.Array, jax.Array]:
 
 def supports_fused_apply(model: Any) -> bool:
     """Whether ``model`` is an exact default model the fused kernels can
-    evaluate (relu/tanh activation, biased dense layers, f32/bf16)."""
+    evaluate (relu/tanh activation, biased dense layers, f32/bf16).
+
+    Models with an explicit compute ``dtype`` (set by ``enable_amp``) are
+    excluded: the kernels run their own fixed precision scheme (bf16
+    matmuls with f32 accumulation and f32 elementwise math), which would
+    silently bypass the requested AMP dtype and diverge numerically from
+    the unfused AMP path.
+    """
     from ..models import DefaultContinuousModel, DefaultDiscreteModel
 
     if type(model) not in (DefaultContinuousModel, DefaultDiscreteModel):
+        return False
+    if model.dtype is not None:
         return False
     return bool(model.bias) and model.activation_fn in _ACT_FNS
 

@@ -126,7 +126,15 @@ def _policy_grad_terms(
 def _vf_grad_terms(
     values: jax.Array, returns: jax.Array, cfg: PPOLossConfig, scale: float
 ) -> tuple[jax.Array, jax.Array]:
-    """Clamped smooth-L1 value loss elements and d(loss)/d(values)."""
+    """Clamped smooth-L1 value loss elements and d(loss)/d(values).
+
+    Boundary convention: the gradient is zeroed with strict comparisons
+    (``sl1 < vf_clip_param`` here; strict clip-interval bounds in
+    :func:`_policy_grad_terms`), whereas torch's ``clamp`` passes gradient
+    at the boundary inclusively. The discrepancy is measure-zero on real
+    data and only visible when diffing against an autodiff path at
+    hand-picked boundary inputs.
+    """
     d = values - returns
     ad = jnp.abs(d)
     sl1 = jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)

@@ -43,8 +43,14 @@ def _import(name: str) -> Any:
         except ModuleNotFoundError as e:
             # Only treat "this prefix isn't a module" as a miss; a
             # ModuleNotFoundError raised from INSIDE a located module (a
-            # missing third-party dependency) must surface as-is.
-            if e.name is not None and not prefix.startswith(e.name):
+            # missing third-party dependency) must surface as-is. The
+            # comparison is on component boundaries: importing
+            # ``pkg.submodule`` whose body fails on a missing ``pkg.sub``
+            # is a dependency error, not a prefix miss, even though
+            # ``"pkg.submodule".startswith("pkg.sub")`` is true.
+            if e.name is not None and not (
+                prefix == e.name or prefix.startswith(e.name + ".")
+            ):
                 raise
             split -= 1
     if mod is None:
