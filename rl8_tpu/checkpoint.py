@@ -51,19 +51,30 @@ def save_checkpoint(
 
     directory = os.path.abspath(directory)
     checkpointer = ocp.PyTreeCheckpointer()
+    # The orbax save is COLLECTIVE in multi-host runs — every process
+    # must call it (each writes its addressable array shards; orbax
+    # coordinates through jax.distributed). Only the host-side JSON is
+    # single-writer, gated to process 0.
     checkpointer.save(
         os.path.join(directory, "state"),
         _encode_rng(algorithm.state),
         force=True,
     )
-    host = {
-        "horizons_host": algorithm._horizons_host,
-        "lr_coeff": algorithm.lr_scheduler.coeff,
-        "entropy_coeff": algorithm.entropy_scheduler.coeff,
-        "trainer_state": trainer_state or {},
-    }
-    with open(os.path.join(directory, "host_state.json"), "w") as f:
-        json.dump(host, f)
+    if jax.process_index() == 0:
+        host = {
+            "horizons_host": algorithm._horizons_host,
+            "lr_coeff": algorithm.lr_scheduler.coeff,
+            "entropy_coeff": algorithm.entropy_scheduler.coeff,
+            "trainer_state": trainer_state or {},
+        }
+        with open(os.path.join(directory, "host_state.json"), "w") as f:
+            json.dump(host, f)
+    if jax.process_count() > 1:
+        # Don't let other processes race ahead (e.g. into an immediate
+        # restore) before process 0 finishes the host-state write.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("rl8_tpu:checkpoint_host_state")
 
 
 def restore_checkpoint(

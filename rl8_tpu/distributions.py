@@ -18,6 +18,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import math
 from abc import ABC, abstractmethod
 from typing import Any
 
@@ -28,7 +29,10 @@ from .specs import Discrete, Spec, Unbounded, assert_1d_spec
 
 __all__ = ["Distribution", "Categorical", "Normal", "SquashedNormal"]
 
-_LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+# Host-side constant: computing this with jnp at import time would
+# initialize the XLA backend, breaking jax.distributed.initialize()
+# for multi-host users who import rl8_tpu first.
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 class Distribution(ABC):

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 __all__ = [
     "create_mesh",
     "initialize_multihost",
+    "is_main_process",
     "shard_state",
     "shard_batch",
     "state_pspecs",
@@ -41,6 +42,8 @@ def initialize_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    *,
+    cpu_collectives: str | None = None,
 ) -> None:
     """Initialize JAX's multi-host runtime for pod-slice training.
 
@@ -50,15 +53,37 @@ def initialize_multihost(
     devices, env instances and the rollout buffer shard across hosts,
     and gradient all-reduce rides ICI within a slice (DCN across
     slices) — this is the multi-host scale-out path promised in
-    SURVEY.md section 2.3.
+    SURVEY.md section 2.3. Trainers log metrics and the checkpoint
+    host-state file from process 0 only (single-writer semantics,
+    matching the reference's single process:
+    ``/root/reference/src/rl8/trainers/_base.py:200``); orbax array
+    saves remain collective across processes.
+
+    Args:
+        coordinator_address: ``host:port`` of process 0's coordination
+            service (inferred on TPU pods).
+        num_processes: Total process count (inferred on TPU pods).
+        process_id: This process's index (inferred on TPU pods).
+        cpu_collectives: Cross-process collective implementation for the
+            CPU backend (``"gloo"`` or ``"mpi"``); required for
+            multi-process runs on CPU (e.g. the 2-process CI test),
+            ignored on TPU.
     """
     import jax
 
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+
+
+def is_main_process() -> bool:
+    """Whether this is process 0 — the single metrics/host-state writer
+    in a multi-host run (every process in a single-process run)."""
+    return jax.process_index() == 0
 
 #: Name of the mesh axis the environment batch shards over.
 ENV_AXIS = "env"
@@ -75,18 +100,61 @@ def create_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def _global_put(leaf: Any, sharding: NamedSharding) -> jax.Array:
+    """Place ``leaf`` with ``sharding``, supporting meshes that span
+    multiple processes.
+
+    Single-process meshes use a plain ``device_put``. When the mesh
+    includes non-addressable devices (multi-host), every process holds
+    the same full host value (state construction is deterministic given
+    the seed), so each process serves its addressable shards through
+    ``jax.make_array_from_callback``. Typed PRNG keys are unwrapped to
+    their raw key data for placement and re-wrapped after.
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(leaf, sharding)
+    import numpy as np
+
+    if jnp.issubdtype(jnp.asarray(leaf).dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(leaf))
+        arr = jax.make_array_from_callback(
+            data.shape, sharding, lambda idx: data[idx]
+        )
+        return jax.random.wrap_key_data(arr)
+    host = np.asarray(leaf)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def _shard_leaf(
-    leaf: jax.Array, mesh: Mesh, num_envs: int, axis_name: str
+    leaf: jax.Array,
+    mesh: Mesh,
+    num_envs: int,
+    axis_name: str,
+    time_major: bool = False,
 ) -> jax.Array:
     """Place an env-batched leaf per :func:`_batch_leaf_spec`."""
-    spec = _batch_leaf_spec(leaf, num_envs, axis_name)
-    return jax.device_put(leaf, NamedSharding(mesh, spec))
+    spec = _batch_leaf_spec(leaf, num_envs, axis_name, time_major)
+    return _global_put(leaf, NamedSharding(mesh, spec))
 
 
-def shard_batch(batch: Any, mesh: Mesh, num_envs: int, *, axis_name: str = ENV_AXIS) -> Any:
-    """Shard a pytree of batched arrays along the env axis."""
+def shard_batch(
+    batch: Any,
+    mesh: Mesh,
+    num_envs: int,
+    *,
+    axis_name: str = ENV_AXIS,
+    time_major: bool = False,
+) -> Any:
+    """Shard a pytree of batched arrays along the env axis.
+
+    ``time_major=False`` (env state): leaves are batch-leading
+    ``[num_envs, ...]`` or unbatched per-config data. ``time_major=True``
+    (rollout buffers): leaves are ``[T, num_envs, ...]``.
+    """
     return jax.tree_util.tree_map(
-        lambda x: _shard_leaf(x, mesh, num_envs, axis_name), batch
+        lambda x: _shard_leaf(x, mesh, num_envs, axis_name, time_major), batch
     )
 
 
@@ -94,15 +162,20 @@ def shard_state(state: Any, mesh: Mesh, num_envs: int, *, axis_name: str = ENV_A
     """Shard an :class:`rl8_tpu.data.AlgorithmState`: env-batched leaves
     along the ``env`` axis, params/optimizer state replicated."""
     replicated = NamedSharding(mesh, PartitionSpec())
+    rput = lambda tree: jax.tree_util.tree_map(
+        lambda x: _global_put(x, replicated), tree
+    )
     return state.replace(
-        params=jax.device_put(state.params, replicated),
-        opt_state=jax.device_put(state.opt_state, replicated),
+        params=rput(state.params),
+        opt_state=rput(state.opt_state),
         env_state=shard_batch(state.env_state, mesh, num_envs, axis_name=axis_name),
-        buffer=shard_batch(state.buffer, mesh, num_envs, axis_name=axis_name),
-        rng=jax.device_put(state.rng, replicated),
-        horizons=jax.device_put(state.horizons, replicated),
-        buffered=jax.device_put(state.buffered, replicated),
-        reward_scale=jax.device_put(state.reward_scale, replicated),
+        buffer=shard_batch(
+            state.buffer, mesh, num_envs, axis_name=axis_name, time_major=True
+        ),
+        rng=_global_put(state.rng, replicated),
+        horizons=_global_put(state.horizons, replicated),
+        buffered=_global_put(state.buffered, replicated),
+        reward_scale=_global_put(state.reward_scale, replicated),
     )
 
 
@@ -162,15 +235,37 @@ def pmean_tree(tree: Any, axis_name: str | None = None) -> Any:
 _BATCHED_STATE_FIELDS = ("env_state", "buffer")
 
 
-def _batch_leaf_spec(leaf: Any, num_envs: int, axis_name: str) -> PartitionSpec:
-    """Spec for a leaf of an env-batched subtree: shard the axis sized
-    ``num_envs`` (axis 0 for env state ``[B, ...]``, axis 1 for
-    time-major buffers ``[T, B, ...]``); replicate per-config scalars."""
+def _batch_leaf_spec(
+    leaf: Any, num_envs: int, axis_name: str, time_major: bool = False
+) -> PartitionSpec:
+    """Spec for a leaf of an env-batched subtree.
+
+    The batch axis position is FIXED per subtree — axis 0 for env state
+    ``[B, ...]``, axis 1 for time-major buffers ``[T, B, ...]`` — never
+    inferred by searching the shape for ``num_envs`` (a positional match
+    could silently shard the wrong axis of a leaf like ``[K, num_envs]``
+    that isn't batch-at-axis-1). A non-batched leaf (per-config data) is
+    replicated; a leaf whose expected batch axis is NOT ``num_envs``-
+    sized but that carries ``num_envs`` elsewhere is ambiguous and is
+    loudly rejected.
+    """
     shape = jnp.shape(leaf)
-    if len(shape) >= 1 and shape[0] == num_envs:
-        return PartitionSpec(axis_name)
-    if len(shape) >= 2 and shape[1] == num_envs:
-        return PartitionSpec(None, axis_name)
+    batch_axis = 1 if time_major else 0
+    if len(shape) > batch_axis and shape[batch_axis] == num_envs:
+        spec = [None] * (batch_axis + 1)
+        spec[batch_axis] = axis_name
+        return PartitionSpec(*spec)
+    if num_envs in shape and num_envs > 1:
+        where = "axis 1 of time-major [T, B, ...]" if time_major else "axis 0"
+        raise ValueError(
+            f"Ambiguous env-batched leaf with shape {shape}: the batch"
+            f" axis must be {where} to shard over the mesh's"
+            f" '{axis_name}' axis, but num_envs={num_envs} appears at a"
+            " different position. Move the env-batch axis to the"
+            " expected position, or keep genuinely unbatched data whose"
+            f" dimensions coincide with num_envs out of the"
+            " env-state/buffer pytrees (e.g. close over it in the env)."
+        )
     return PartitionSpec()
 
 
@@ -183,7 +278,9 @@ def state_pspecs(state: Any, num_envs: int, *, axis_name: str = ENV_AXIS) -> Any
     hidden layer with ``num_envs=256``) stay replicated."""
     spec_of = {
         name: jax.tree_util.tree_map(
-            lambda leaf: _batch_leaf_spec(leaf, num_envs, axis_name),
+            lambda leaf, tm=(name == "buffer"): _batch_leaf_spec(
+                leaf, num_envs, axis_name, tm
+            ),
             getattr(state, name),
         )
         for name in _BATCHED_STATE_FIELDS

@@ -43,9 +43,26 @@ class GenericTrainerBase(Generic[_Algorithm]):
     #: Running totals for logging and eval-boundary checks.
     state: TrainerState
 
-    def __init__(self, algorithm: _Algorithm, /, *, run: None | Run = None) -> None:
+    def __init__(
+        self,
+        algorithm: _Algorithm,
+        /,
+        *,
+        run: None | Run = None,
+        log_all_processes: bool = False,
+    ) -> None:
         self.algorithm = algorithm
         self.tracking_run = run if run is not None else get_default_run()
+        # Single-writer semantics in multi-host runs: the reference's
+        # single process logs once
+        # (``/root/reference/src/rl8/trainers/_base.py:200``); here every
+        # process computes identical global stats, so all but process 0
+        # drop theirs (override with ``log_all_processes`` for debugging).
+        from ..parallel import is_main_process
+        from .tracking import NoopRun
+
+        if not log_all_processes and not is_main_process():
+            self.tracking_run = NoopRun()
         self.state = {
             "algorithm/collects": 0,
             "algorithm/steps": 0,

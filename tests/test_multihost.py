@@ -1,0 +1,82 @@
+"""Multi-host execution: 2 ``jax.distributed`` CPU processes.
+
+Proves the multi-host path the reference lacks entirely (SURVEY.md
+section 2.3's TPU-new mandate): a mesh spanning two processes trains
+real steps with identical global stats on every host, checkpoints
+collectively, and keeps single-writer metric/host-state semantics
+(exactly one process logs, matching the reference's single process at
+``/root/reference/src/rl8/trainers/_base.py:200``).
+"""
+
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = pathlib.Path(__file__).parent / "_multihost_worker.py"
+_REPO_ROOT = str(pathlib.Path(__file__).parent.parent)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(_WORKER), str(i), str(port), str(tmp_path), _REPO_ROOT],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    # Identical global stats on both hosts: every process computes the
+    # same globally-reduced values from the same sharded state.
+    with open(tmp_path / "result_0.json") as f:
+        r0 = json.load(f)
+    with open(tmp_path / "result_1.json") as f:
+        r1 = json.load(f)
+    assert r0 == r1
+    assert r0["algorithm/steps"] == 3
+    assert r0["env/steps"] == 3 * 64 * 8
+
+    # Exactly ONE metrics writer: 3 trainer steps -> 3 records, not 6.
+    with open(tmp_path / "track" / "metrics.jsonl") as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) == 3
+    assert records[-1]["algorithm/steps"] == 3
+
+    # Exactly one params.json (written by process 0's log_params).
+    with open(tmp_path / "track" / "params.json") as f:
+        params = json.load(f)
+    assert params["env_cls"] == "DiscreteDummyEnv"
+
+    # The collective checkpoint produced both the orbax state tree and
+    # the single-writer host-state file.
+    assert (tmp_path / "ckpt" / "state").is_dir()
+    with open(tmp_path / "ckpt" / "host_state.json") as f:
+        host = json.load(f)
+    assert host["trainer_state"]["algorithm/steps"] == 2

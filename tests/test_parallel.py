@@ -38,6 +38,7 @@ def test_sharded_state_placement() -> None:
     assert params_leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_training_matches_single_device() -> None:
     """GSPMD exact mode computes bit-equal math to single-device
     execution (global program, global reductions)."""
@@ -69,6 +70,7 @@ def test_sharded_training_matches_single_device() -> None:
     )
 
 
+@pytest.mark.slow
 def test_sharded_training_learns() -> None:
     mesh = create_mesh()
     algo = AlgorithmConfig(
@@ -87,6 +89,7 @@ def test_sharded_training_learns() -> None:
     assert stats["returns/mean"] > first
 
 
+@pytest.mark.slow
 def test_sharded_recurrent_trains() -> None:
     mesh = create_mesh()
     algo = RecurrentAlgorithmConfig(
@@ -114,6 +117,7 @@ def test_shard_state_helper_specs() -> None:
     assert spec[1] == ENV_AXIS
 
 
+@pytest.mark.slow
 def test_shard_map_training_statistically_consistent() -> None:
     """The default shard_map mode uses per-shard RNG streams (rollouts
     differ bit-wise from single-device at equal seeds) but preserves
@@ -146,6 +150,7 @@ def test_shard_map_training_statistically_consistent() -> None:
         np.testing.assert_array_equal(shards[0], other)
 
 
+@pytest.mark.slow
 def test_shard_map_fused_train_steps() -> None:
     """The fused multi-step train path works under shard_map too."""
     mesh = create_mesh()
@@ -160,6 +165,7 @@ def test_shard_map_fused_train_steps() -> None:
     assert all("losses/total" in r for r in records)
 
 
+@pytest.mark.slow
 def test_shard_map_global_stat_reductions() -> None:
     """Collect stats are global: an 8-shard run's return stats must span
     the full batch, not one shard (min <= mean <= max with a nonzero
@@ -219,6 +225,7 @@ def test_state_pspecs_ignore_coincidental_dims() -> None:
     assert specs.env_state["position"] == P(ENV_AXIS)
 
 
+@pytest.mark.slow
 def test_shard_map_with_coincidental_hidden_width_trains() -> None:
     """End-to-end: shard_map training works when hiddens == num_envs."""
     algo = AlgorithmConfig(
@@ -230,3 +237,45 @@ def test_shard_map_with_coincidental_hidden_width_trains() -> None:
     algo.collect()
     stats = algo.step()
     assert "losses/total" in stats
+
+
+def test_ambiguous_env_state_leaf_rejected() -> None:
+    """An env-state leaf carrying ``num_envs`` on a non-leading axis
+    (``[K, num_envs]``) must be loudly rejected, never silently sharded
+    on the wrong axis."""
+    import pytest
+
+    from rl8_tpu.parallel import _batch_leaf_spec
+
+    with pytest.raises(ValueError, match="Ambiguous"):
+        _batch_leaf_spec(jnp.zeros((3, 16)), 16, ENV_AXIS)
+    # Batch-leading leaves and unbatched scalars classify fine.
+    assert _batch_leaf_spec(jnp.zeros((16, 3)), 16, ENV_AXIS) == (
+        jax.sharding.PartitionSpec(ENV_AXIS)
+    )
+    assert _batch_leaf_spec(jnp.zeros(()), 16, ENV_AXIS) == (
+        jax.sharding.PartitionSpec()
+    )
+    # Time-major buffer leaves classify on axis 1 only.
+    assert _batch_leaf_spec(
+        jnp.zeros((4, 16, 1)), 16, ENV_AXIS, True
+    ) == jax.sharding.PartitionSpec(None, ENV_AXIS)
+    with pytest.raises(ValueError, match="Ambiguous"):
+        _batch_leaf_spec(jnp.zeros((16, 3, 1)), 16, ENV_AXIS, True)
+
+
+def test_ambiguous_env_state_shard_state_rejected() -> None:
+    """`shard_state` surfaces the ambiguity error for adversarial env
+    states end to end."""
+    import pytest
+
+    from rl8_tpu.parallel import shard_state
+
+    algo = AlgorithmConfig(
+        num_envs=16, horizon=4, model_config={"hiddens": (8,)}
+    ).build(DiscreteDummyEnv)
+    bad_state = algo.state.replace(
+        env_state={**algo.state.env_state, "table": jnp.zeros((3, 16))}
+    )
+    with pytest.raises(ValueError, match="Ambiguous"):
+        shard_state(bad_state, create_mesh(), 16)
