@@ -172,6 +172,17 @@ def _t2b(x: jax.Array) -> jax.Array:
     return moved.reshape(-1, *moved.shape[2:])
 
 
+#: Non-observation buffer keys a model's view requirements may window
+#: (the reference applies views over the whole buffer batch;
+#: ``/root/reference/src/rl8/policies/_feedforward.py:135-138``).
+_VIEWABLE_NONOBS_KEYS = (
+    DataKeys.ACTIONS,
+    DataKeys.REWARDS,
+    DataKeys.LOGP,
+    DataKeys.VALUES,
+)
+
+
 
 
 class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
@@ -222,6 +233,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 " training views with the rollout buffer. Use"
                 " `padded_rolling_window` (drop size 0) views instead."
             )
+        self._nonobs_view_roots  # fail fast on invalid view keys
 
         sgd_minibatch_size = (
             config.sgd_minibatch_size
@@ -384,45 +396,138 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             default=0,
         )
 
-    def _build_last_views(self, window: Any, valid: jax.Array) -> dict[str, Any]:
+    @property
+    def _nonobs_view_roots(self) -> tuple[str, ...]:
+        """Non-observation buffer keys referenced by the model's view
+        requirements, in declaration order.
+
+        The reference applies view requirements over the WHOLE buffer
+        batch (``/root/reference/src/rl8/policies/_feedforward.py:135-138``),
+        so a custom model may window past actions/rewards/log-probs/
+        values in addition to observations.
+        """
+        roots: dict[str, None] = {}
+        for key in self.policy.model.view_requirements:
+            root = key if isinstance(key, str) else (key[0] if key else "")
+            if root == DataKeys.OBS:
+                continue
+            if isinstance(key, tuple):
+                raise RuntimeError(
+                    f"View requirement key {key!r} is invalid: nested keys"
+                    " may only reference observations."
+                )
+            if root not in _VIEWABLE_NONOBS_KEYS:
+                raise RuntimeError(
+                    f"View requirement key {key!r} does not reference a"
+                    f" rollout buffer entry (one of"
+                    f" {(DataKeys.OBS, *_VIEWABLE_NONOBS_KEYS)})."
+                )
+            roots[root] = None
+        return tuple(roots)
+
+    def _zero_view_slot(self, root: str) -> jax.Array:
+        """Per-env zero value ``[B, ...]`` for a non-obs buffer key — the
+        buffer slot a ``kind="last"`` sample sees at the current timestep
+        (it is written only after sampling, so the reference's view reads
+        the zero-initialized entry; ``_feedforward.py:359-393``)."""
+        B = self._impl_B
+        if root == DataKeys.ACTIONS:
+            return self._impl_env.action_spec.zero((B,))
+        return jnp.zeros((B, 1))
+
+    def _init_nonobs_windows(self) -> dict[str, jax.Array]:
+        """Zero-initialized carried windows ``[B, S, ...]`` of the last
+        ``S = _max_shift`` written values per non-obs view root (empty
+        when every non-obs requirement has ``shift == 0``)."""
+        S = self._max_shift
+        if S == 0:
+            return {}
+        return {
+            root: jnp.repeat(
+                self._zero_view_slot(root)[:, None], S, axis=1
+            )
+            for root in self._nonobs_view_roots
+        }
+
+    @staticmethod
+    def _advance_nonobs_windows(
+        nonobs: dict[str, jax.Array], written: dict[str, jax.Array]
+    ) -> dict[str, jax.Array]:
+        """Shift each carried window left and append this step's written
+        value (action taken, reward received, ...)."""
+        return {
+            root: jnp.concatenate(
+                [w[:, 1:], written[root][:, None]], axis=1
+            )
+            for root, w in nonobs.items()
+        }
+
+    def _build_last_views(
+        self,
+        window: Any,
+        valid: jax.Array,
+        nonobs: dict[str, jax.Array] | None = None,
+    ) -> dict[str, Any]:
         """Build the model input for a ``kind="last"`` sample from the
-        carried observation window ``[B, S + 1, ...]`` and its validity
-        mask ``[S + 1]``.
+        carried observation window ``[B, S + 1, ...]``, its validity
+        mask ``[S + 1]``, and the non-obs windows ``[B, S, ...]``.
 
         Equivalent to the reference's per-step
         ``apply_view_requirements(buffer[:, :t+1], kind="last")``
-        (``policies/_feedforward.py:135-138``): the window holds the last
-        ``S + 1`` observations of the current horizon, zero-padded (and
-        mask-flagged) before the horizon's first observation.
+        (``policies/_feedforward.py:135-138``): the obs window holds the
+        last ``S + 1`` observations of the current horizon, zero-padded
+        (and mask-flagged) before the horizon's first observation. A
+        non-obs window's final slot is the CURRENT timestep's buffer
+        entry, which is still zero at sampling time (the reference
+        writes actions/rewards/etc. into the buffer only after
+        sampling), so views of those keys end in a zero slot.
         """
         B = self._impl_B
+        nonobs = nonobs or {}
         out: dict[str, Any] = {}
         for key, vr in self.policy.model.view_requirements.items():
-            if key == DataKeys.OBS:
-                item = window
-            elif isinstance(key, tuple) and key and key[0] == DataKeys.OBS:
-                item = _tree_get(window, key[1:])
-            else:
-                raise RuntimeError(
-                    f"View requirement key {key!r} must reference observations"
-                    " for rollout-time sampling."
-                )
             size = vr.shift + 1
-            if vr.shift == 0:
-                view = jax.tree_util.tree_map(lambda t: t[:, -1], item)
+            if key == DataKeys.OBS or (
+                isinstance(key, tuple) and key and key[0] == DataKeys.OBS
+            ):
+                item = (
+                    window
+                    if key == DataKeys.OBS
+                    else _tree_get(window, key[1:])
+                )
+                if vr.shift == 0:
+                    view = jax.tree_util.tree_map(lambda t: t[:, -1], item)
+                else:
+                    tail = jax.tree_util.tree_map(lambda t: t[:, -size:], item)
+                    if vr.drop_size == 0:  # padded_rolling_window
+                        mask = jnp.broadcast_to(~valid[-size:], (B, size))
+                        view = jax.tree_util.tree_map(
+                            lambda t: {
+                                DataKeys.INPUTS: t,
+                                DataKeys.PADDING_MASK: mask,
+                            },
+                            tail,
+                        )
+                    else:  # rolling_window: fixed window, zero-filled at starts
+                        view = tail
             else:
-                tail = jax.tree_util.tree_map(lambda t: t[:, -size:], item)
-                if vr.drop_size == 0:  # padded_rolling_window
-                    mask = jnp.broadcast_to(~valid[-size:], (B, size))
-                    view = jax.tree_util.tree_map(
-                        lambda t: {
-                            DataKeys.INPUTS: t,
-                            DataKeys.PADDING_MASK: mask,
-                        },
-                        tail,
+                zero_slot = self._zero_view_slot(key)
+                if vr.shift == 0:
+                    view = zero_slot
+                else:
+                    w = nonobs[key]
+                    tail = jnp.concatenate(
+                        [w[:, w.shape[1] - vr.shift :], zero_slot[:, None]],
+                        axis=1,
                     )
-                else:  # rolling_window: fixed window, zero-filled at starts
-                    view = tail
+                    if vr.drop_size == 0:
+                        mask = jnp.broadcast_to(~valid[-size:], (B, size))
+                        view = {
+                            DataKeys.INPUTS: tail,
+                            DataKeys.PADDING_MASK: mask,
+                        }
+                    else:
+                        view = tail
             _set_nested(out, key, view)
         return out
 
@@ -485,10 +590,11 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             obs0,
         )
         valid0 = jnp.zeros((S + 1,), dtype=bool).at[-1].set(True)
+        nonobs0 = self._init_nonobs_windows()
 
         def _scan_step(carry: Any, key: jax.Array) -> tuple[Any, Any]:
-            env_state, window, valid, rev = carry
-            in_batch = self._build_last_views(window, valid)
+            env_state, window, valid, nonobs, rev = carry
+            in_batch = self._build_last_views(window, valid, nonobs)
             if self._fused_act:
                 from ..ops.fused_act import fused_act
 
@@ -515,19 +621,28 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             valid_next = jnp.concatenate(
                 [valid[1:], jnp.ones((1,), dtype=bool)], axis=0
             )
+            nonobs_next = self._advance_nonobs_windows(
+                nonobs,
+                {
+                    DataKeys.ACTIONS: actions,
+                    DataKeys.REWARDS: rewards,
+                    DataKeys.LOGP: logp,
+                    DataKeys.VALUES: values,
+                },
+            )
             return (
-                (env_state, window_next, valid_next, rev_next),
+                (env_state, window_next, valid_next, nonobs_next, rev_next),
                 (obs_next, actions, logp, values, rewards, rev_next),
             )
 
         keys = jax.random.split(scan_key, T)
-        (env_state, window, valid, _), ys = jax.lax.scan(
-            _scan_step, (env_state, window0, valid0, rev0), keys
+        (env_state, window, valid, nonobs, _), ys = jax.lax.scan(
+            _scan_step, (env_state, window0, valid0, nonobs0, rev0), keys
         )
         obs_rest, actions, logp, values, rewards, rev_rest = ys
 
         # --- bootstrap value at the final observation (``:395-408``).
-        in_batch = self._build_last_views(window, valid)
+        in_batch = self._build_last_views(window, valid, nonobs)
         _, v_last = self._apply_model(state.params, in_batch)
 
         obs_full = jax.tree_util.tree_map(
@@ -679,12 +794,18 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 gstd(advantages, self._axis) + 1e-8
             )
 
-        # Batchify: [T, B, ...] -> [B * T, ...]; views from [B, T, ...] obs
-        # (``_feedforward.py:469-482``).
+        # Batchify: [T, B, ...] -> [B * T, ...]; views from the whole
+        # [B, T, ...] buffer — non-obs keys included, so models may
+        # window past actions/rewards/logp/values exactly like the
+        # reference (``_feedforward.py:469-482``; view application over
+        # the full buffer at ``policies/_feedforward.py:135-138``).
         obs_bt = jax.tree_util.tree_map(
             lambda x: jnp.swapaxes(x[:T], 0, 1), buffer[DataKeys.OBS]
         )
-        views = model.apply_view_requirements({DataKeys.OBS: obs_bt}, kind="all")
+        view_batch: dict[str, Any] = {DataKeys.OBS: obs_bt}
+        for root in self._nonobs_view_roots:
+            view_batch[root] = jnp.swapaxes(buffer[root][:T], 0, 1)
+        views = model.apply_view_requirements(view_batch, kind="all")
         flat = {
             DataKeys.ACTIONS: _t2b(buffer[DataKeys.ACTIONS]),
             DataKeys.LOGP: _t2b(buffer[DataKeys.LOGP]),
@@ -1061,9 +1182,18 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         env_state, obs = self.env.reset(key)
         self.env.observation_spec.assert_is_in(obs)
 
-        batch = {
+        # The reference samples with the whole (zeroed) buffer sliced to
+        # one timestep (``_feedforward.py:638-649``), so non-obs keys a
+        # model's views reference are present as zero entries.
+        batch: dict[str, Any] = {
             DataKeys.OBS: jax.tree_util.tree_map(lambda o: o[:, None], obs)
         }
+        for root in self._nonobs_view_roots:
+            batch[root] = (
+                self.env.action_spec.zero((B, 1))
+                if root == DataKeys.ACTIONS
+                else jnp.zeros((B, 1, 1))
+            )
         sample = self.policy.sample(
             self.state.params,
             batch,
@@ -1090,4 +1220,47 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         self.env.observation_spec.assert_is_in(obs)
         assert rewards.shape == (B, 1), (
             "Rewards must be 2D with shape ``[N, 1]``."
+        )
+
+        # Training-path (`kind="all"`) contract: applying the model's
+        # view requirements over a buffer-shaped batch must fold [B, T]
+        # into a single [B * T] batch that aligns with the flattened
+        # buffer the PPO update consumes (the alignment the reference's
+        # buffer scatter-asserts enforce, ``_feedforward.py:617-698``).
+        T = self.hparams.horizon
+        buffer = self._zero_buffer()
+        view_batch = {
+            DataKeys.OBS: jax.tree_util.tree_map(
+                lambda x: jnp.swapaxes(x[:T], 0, 1), buffer[DataKeys.OBS]
+            )
+        }
+        for root in self._nonobs_view_roots:
+            view_batch[root] = jnp.swapaxes(buffer[root][:T], 0, 1)
+        views = self.policy.model.apply_view_requirements(
+            view_batch, kind="all"
+        )
+        leading = {
+            leaf.shape[0] for leaf in jax.tree_util.tree_leaves(views)
+        }
+        assert leading == {B * T}, (
+            "`apply_view_requirements(kind='all')` must produce a batch of"
+            f" size ``[B * T, ...]`` = [{B * T}, ...] aligned with the"
+            f" flattened rollout buffer; got leading sizes {leading}."
+        )
+        sample_all = self.policy.sample(
+            self.state.params,
+            {DataKeys.VIEWS: views},
+            kind="all",
+            key=key,
+            deterministic=False,
+            return_actions=True,
+            return_logp=True,
+            return_values=True,
+        )
+        assert sample_all[DataKeys.LOGP].shape == (B * T, 1), (
+            "Training-path action log probabilities must have shape"
+            " ``[B * T, 1]``."
+        )
+        assert sample_all[DataKeys.VALUES].shape == (B * T, 1), (
+            "Training-path value estimates must have shape ``[B * T, 1]``."
         )

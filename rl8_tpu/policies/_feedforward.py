@@ -72,10 +72,25 @@ class Policy(GenericPolicyBase[Model]):
 
     def init_params(self, key: jax.Array, /) -> Any:
         """Initialize model parameters with a spec-derived dummy batch."""
+        import jax.numpy as jnp
+
         max_shift = max(
             (vr.shift for vr in self.model.view_requirements.values()), default=0
         )
-        batch = {DataKeys.OBS: self.observation_spec.zero((1, max_shift + 1))}
+        T = max_shift + 1
+        batch: dict[str, Any] = {
+            DataKeys.OBS: self.observation_spec.zero((1, T))
+        }
+        # Zero stand-ins for any non-obs buffer keys the model windows
+        # (views may reference actions/rewards/logp/values like the
+        # reference's whole-buffer view application).
+        for viewed in self.model.view_requirements:
+            if isinstance(viewed, tuple) or viewed == DataKeys.OBS:
+                continue
+            if viewed == DataKeys.ACTIONS:
+                batch[viewed] = self.action_spec.zero((1, T))
+            else:
+                batch[viewed] = jnp.zeros((1, T, 1))
         views = self.model.apply_view_requirements(batch, kind="last")
         return self.model.init(key, views)["params"]
 

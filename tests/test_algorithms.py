@@ -18,6 +18,7 @@ HORIZONS_PER_ENV_RESET = 2
 
 
 @pytest.mark.parametrize("env_cls", [ContinuousDummyEnv, DiscreteDummyEnv])
+@pytest.mark.slow
 def test_accumulation_equivalence(env_cls) -> None:
     """Same seed: accumulated and non-accumulated steps produce matching
     losses (``/root/reference/tests/test_algorithms.py:16-68``)."""
@@ -180,6 +181,7 @@ def test_target_kl_early_stop_allowed_configs() -> None:
     assert "monitors/kl_div" in stats
 
 
+@pytest.mark.slow
 def test_learning_on_discrete_dummy_env() -> None:
     """The milestone: PPO learns the optimal dummy-env policy (move
     toward the origin) within a few steps."""
@@ -199,6 +201,7 @@ def test_learning_on_discrete_dummy_env() -> None:
     assert out[DataKeys.ACTIONS].ravel().tolist() == [0, 1, 0, 1]
 
 
+@pytest.mark.slow
 def test_learning_on_continuous_dummy_env() -> None:
     algo = AlgorithmConfig(
         num_envs=128,
@@ -217,6 +220,7 @@ def test_learning_on_continuous_dummy_env() -> None:
     assert stats["returns/mean"] > first
 
 
+@pytest.mark.slow
 def test_fused_train_steps_matches_unfused() -> None:
     """train_steps(N) is bit-compatible with N alternating collect/step
     calls (same RNG stream, same scheduler cadence)."""
@@ -256,6 +260,7 @@ def test_fused_train_steps_matches_unfused() -> None:
     )
 
 
+@pytest.mark.slow
 def test_fused_train_steps_counts_resets() -> None:
     algo = AlgorithmConfig(
         num_envs=NUM_ENVS,
@@ -265,3 +270,80 @@ def test_fused_train_steps_counts_resets() -> None:
     ).build(DiscreteDummyEnv)
     records = algo.train_steps(4)
     assert [r["env/resets"] for r in records] == [NUM_ENVS, 0, NUM_ENVS, 0]
+
+
+def _make_action_window_model():
+    """Custom discrete model windowing its own past actions — exercises
+    rollout-time view requirements on a non-observation buffer key
+    (reference semantics: views over the whole buffer batch,
+    ``/root/reference/src/rl8/policies/_feedforward.py:135-138``)."""
+    import flax.linen as nn
+
+    from rl8_tpu.models import GenericModel, small_uniform_init
+    from rl8_tpu.nn import MLP
+    from rl8_tpu.views import ViewRequirement
+
+    class ActionWindowModel(GenericModel):
+        hiddens: tuple = (16, 16)
+
+        @property
+        def view_requirements(self):
+            return {
+                DataKeys.OBS: ViewRequirement(shift=0),
+                DataKeys.ACTIONS: ViewRequirement(shift=2),
+            }
+
+        @nn.compact
+        def __call__(self, batch):
+            obs = batch[DataKeys.OBS]
+            actions = batch[DataKeys.ACTIONS][DataKeys.INPUTS]
+            mask = batch[DataKeys.ACTIONS][DataKeys.PADDING_MASK]
+            n = self.action_spec.n
+            one_hot = jax.nn.one_hot(actions[..., 0], n) * (~mask)[..., None]
+            x = jnp.concatenate([obs, one_hot.reshape(obs.shape[0], -1)], axis=-1)
+            latents = jax.nn.relu(MLP(self.hiddens, name="feature_model")(x))
+            logits = nn.Dense(
+                n, kernel_init=small_uniform_init(), name="feature_head"
+            )(latents).reshape(-1, 1, n)
+            vf_latents = jax.nn.relu(MLP(self.hiddens, name="vf_model")(x))
+            values = nn.Dense(1, name="vf_head")(vf_latents)
+            return {"logits": logits}, values
+
+    return ActionWindowModel
+
+
+@pytest.mark.slow
+def test_action_window_views_train_end_to_end() -> None:
+    """A model with ``view_requirements`` on ``DataKeys.ACTIONS`` collects
+    and trains; the rollout-time view's final slot is the current (still
+    zero) buffer entry, matching the reference's zero-initialized buffer."""
+    algo = AlgorithmConfig(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        model_cls=_make_action_window_model(),
+        seed=3,
+    ).build(DiscreteDummyEnv)
+    for _ in range(2):
+        collect_stats = algo.collect()
+        step_stats = algo.step()
+    assert math.isfinite(step_stats["losses/total"])
+    assert math.isfinite(collect_stats["returns/mean"])
+
+
+def test_non_buffer_view_key_rejected() -> None:
+    """View requirements naming a key outside the rollout buffer fail
+    loudly at construction."""
+    from rl8_tpu.views import ViewRequirement
+
+    cls = _make_action_window_model()
+
+    class BadModel(cls):
+        @property
+        def view_requirements(self):
+            return {DataKeys.OBS: ViewRequirement(shift=0),
+                    "not_a_buffer_key": ViewRequirement(shift=1)}
+
+    with pytest.raises(RuntimeError, match="buffer"):
+        AlgorithmConfig(
+            num_envs=NUM_ENVS, horizon=HORIZON, model_cls=BadModel
+        ).build(DiscreteDummyEnv)
