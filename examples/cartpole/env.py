@@ -31,9 +31,20 @@ class CartPoleConfig:
     cart_mass: float = 1.0
     force_mag: float = 5.0
     gravity: float = 9.8
+    #: ``"euler"`` (explicit) or anything else for semi-implicit Euler
+    #: (``/root/reference/examples/cartpole/env.py:42-51``).
+    kinematics_integrator: str = "euler"
     length: float = 0.5
     pole_mass: float = 0.1
+    #: Pole mass * pole length. Overwritten in ``__post_init__``.
+    pole_mass_length: float = 0.05
+    #: Pole mass + cart mass. Overwritten in ``__post_init__``.
+    total_mass: float = 1.1
     tau: float = 0.02
+
+    def __post_init__(self) -> None:
+        self.pole_mass_length = self.pole_mass * self.length
+        self.total_mass = self.cart_mass + self.pole_mass
 
 
 def _step_physics(
@@ -43,8 +54,8 @@ def _step_physics(
     theta_dot); Euler integration and the shaped infinite-horizon reward
     (``/root/reference/examples/cartpole/env.py:12-64``)."""
     x, x_dot, theta, theta_dot = phys[:, 0], phys[:, 1], phys[:, 2], phys[:, 3]
-    pole_mass_length = cfg["pole_mass"] * cfg["length"]
-    total_mass = cfg["cart_mass"] + cfg["pole_mass"]
+    pole_mass_length = cfg["pole_mass_length"]
+    total_mass = cfg["total_mass"]
 
     force = (action.reshape(-1).astype(jnp.float32) - 1) * cfg["force_mag"]
     costheta = jnp.cos(theta)
@@ -56,10 +67,16 @@ def _step_physics(
     )
     x_acc = tmp - pole_mass_length * theta_acc * costheta / total_mass
 
-    x = x + cfg["tau"] * x_dot
-    x_dot = x_dot + cfg["tau"] * x_acc
-    theta = theta + cfg["tau"] * theta_dot
-    theta_dot = theta_dot + cfg["tau"] * theta_acc
+    tau = cfg["tau"]
+    # Both integrators (``env.py:42-51``), selected by the traced
+    # ``semi_implicit`` flag so per-reset config switches stay jittable.
+    x_dot_new = x_dot + tau * x_acc
+    theta_dot_new = theta_dot + tau * theta_acc
+    si = cfg["semi_implicit"] > 0
+    x = jnp.where(si, x + tau * x_dot_new, x + tau * x_dot)
+    theta = jnp.where(si, theta + tau * theta_dot_new, theta + tau * theta_dot)
+    x_dot = x_dot_new
+    theta_dot = theta_dot_new
 
     phys = jnp.stack((x, x_dot, theta, theta_dot), axis=1)
     obs = jnp.stack(
@@ -91,10 +108,16 @@ class CartPole(Env):
         state: EnvState = None,
         config: EnvConfig = None,
     ) -> tuple[EnvState, jax.Array]:
+        cfg_vals = asdict(CartPoleConfig(**(config or {})))
+        integrator = cfg_vals.pop("kinematics_integrator")
         cfg = {
-            k: jnp.asarray(v, dtype=jnp.float32)
-            for k, v in asdict(CartPoleConfig(**(config or {}))).items()
+            k: jnp.asarray(v, dtype=jnp.float32) for k, v in cfg_vals.items()
         }
+        # Strings can't live in the traced env-state pytree; encode the
+        # integrator choice as a 0/1 flag selected inside the step.
+        cfg["semi_implicit"] = jnp.asarray(
+            0.0 if integrator == "euler" else 1.0, dtype=jnp.float32
+        )
         phys = 0.01 * jax.random.normal(key, (self.num_envs, 4), dtype=jnp.float32)
         x, x_dot, theta, theta_dot = (
             phys[:, 0],

@@ -12,6 +12,8 @@ from examples.cartpole.env import CartPole
 from examples.mountain_car.env import MountainCar
 from examples.pendulum.env import Pendulum
 
+pytestmark = pytest.mark.slow  # end-to-end drives; excluded from `-m 'not slow'`
+
 SMALL = dict(num_envs=8, horizon=8)
 
 
@@ -111,3 +113,31 @@ def test_cartpole_solves() -> None:
     records = algo.train_steps(25)
     assert records[0]["returns/mean"] < -100.0
     assert records[-1]["returns/mean"] > -40.0
+
+
+def test_cartpole_kinematics_integrator() -> None:
+    """Both integrators from the reference config are supported
+    (``/root/reference/examples/cartpole/env.py:42-51``) and produce
+    different (finite) trajectories."""
+    import jax
+    import jax.numpy as jnp
+
+    from examples.cartpole.env import CartPole
+
+    env = CartPole(8)
+    key = jax.random.key(0)
+    action = jnp.ones((8, 1), dtype=jnp.int32) * 2
+
+    state_e, _ = env.reset(key, config={"kinematics_integrator": "euler"})
+    state_s, _ = env.reset(key, config={"kinematics_integrator": "semi_implicit"})
+    for _ in range(5):
+        state_e, obs_e, r_e = env.step(state_e, action)
+        state_s, obs_s, r_s = env.step(state_s, action)
+    assert jnp.isfinite(obs_e).all() and jnp.isfinite(obs_s).all()
+    assert not jnp.allclose(obs_e, obs_s)
+    # Derived config fields follow the reference's __post_init__.
+    from examples.cartpole.env import CartPoleConfig
+
+    cfg = CartPoleConfig(pole_mass=0.2, length=1.0, cart_mass=2.0)
+    assert cfg.pole_mass_length == 0.2
+    assert cfg.total_mass == 2.2
