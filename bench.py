@@ -1,9 +1,29 @@
-"""Headline benchmark: environment transitions/s with one policy update
-per horizon on ``DiscreteDummyEnv`` (the reference's headline metric:
-~1M transitions/s on one RTX 2080, ``/root/reference/README.md:8-10``).
+"""Driver benchmark over BASELINE.md's tracked configs.
 
-Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
-``vs_baseline`` is the ratio against the reference's 1M transitions/s.
+Prints one JSON line per tracked config — the headline metric first —
+each shaped ``{"metric", "value", "unit", "vs_baseline"}``:
+
+1. ``env_transitions_per_s_with_update`` — feedforward PPO on
+   ``DiscreteDummyEnv``, reference default config (the reference's
+   headline: ~1M transitions/s on one RTX 2080,
+   ``/root/reference/README.md:8-10``).
+2. ``recurrent_env_transitions_per_s_with_update`` — recurrent PPO on
+   ``DiscreteDummyEnv`` (same 1M baseline: the reference claims its
+   throughput with either flavor).
+3. ``continuous_squashed_env_transitions_per_s_with_update`` —
+   ``ContinuousDummyEnv`` + SquashedNormal with custom gamma/lambda
+   (BASELINE.json tracked config #2).
+4. ``cartpole_seconds_to_solve_post_compile`` — CartPole trained with the
+   reference example's hyperparameters until the shaped return is
+   near-optimal (``/root/reference/README.md:16-20`` claims "within
+   seconds"; baseline set to 10 s, ``vs_baseline`` = baseline/measured so
+   >1 is better).
+5. ``algotrading_env_transitions_per_s_with_update`` — the algotrading
+   example with gradient accumulation + mixed precision (tracked config
+   #5; throughput baselined against the same 1M transitions/s).
+
+For throughput metrics ``vs_baseline`` = measured / 1M (higher is
+better).
 """
 
 from __future__ import annotations
@@ -12,9 +32,34 @@ import json
 import time
 
 REFERENCE_TRANSITIONS_PER_S = 1_000_000.0
+CARTPOLE_BASELINE_SECONDS = 10.0
 
 
-def main() -> None:
+def _throughput(algo, num_envs: int, horizon: int, iters: int = 20) -> float:
+    algo.train_steps(iters)  # warm the compile cache
+    start = time.perf_counter()
+    # train_steps converts stats to host floats, which blocks on the
+    # device work, so the wall clock is an honest end-to-end measure.
+    algo.train_steps(iters)
+    elapsed = time.perf_counter() - start
+    return num_envs * horizon * iters / elapsed
+
+
+def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": value,
+                "unit": unit,
+                "vs_baseline": vs_baseline,
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_feedforward() -> None:
     from rl8_tpu import AlgorithmConfig
     from rl8_tpu.env import DiscreteDummyEnv
 
@@ -22,33 +67,123 @@ def main() -> None:
     # 4 SGD epochs) — mirrors the reference's defaults
     # (``/root/reference/src/rl8/algorithms/_feedforward.py:29-179``)
     # under which its ~1M transitions/s headline claim is made.
-    num_envs = 8192
-    horizon = 32
+    num_envs, horizon = 8192, 32
     algo = AlgorithmConfig(num_envs=num_envs, horizon=horizon).build(
         DiscreteDummyEnv
     )
-
-    # Warmup (compile the fused multi-step train program).
-    iters = 20
-    algo.train_steps(iters)
-
-    start = time.perf_counter()
-    algo.train_steps(iters)
-    # train_steps converts stats to host floats, which blocks on the
-    # device work, so the wall clock is an honest end-to-end measure.
-    elapsed = time.perf_counter() - start
-    transitions_per_s = num_envs * horizon * iters / elapsed
-
-    print(
-        json.dumps(
-            {
-                "metric": "env_transitions_per_s_with_update",
-                "value": transitions_per_s,
-                "unit": "transitions/s",
-                "vs_baseline": transitions_per_s / REFERENCE_TRANSITIONS_PER_S,
-            }
-        )
+    tps = _throughput(algo, num_envs, horizon)
+    _emit(
+        "env_transitions_per_s_with_update",
+        tps,
+        "transitions/s",
+        tps / REFERENCE_TRANSITIONS_PER_S,
     )
+
+
+def bench_recurrent() -> None:
+    from rl8_tpu import RecurrentAlgorithmConfig
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    num_envs, horizon = 8192, 32
+    algo = RecurrentAlgorithmConfig(num_envs=num_envs, horizon=horizon).build(
+        DiscreteDummyEnv
+    )
+    tps = _throughput(algo, num_envs, horizon)
+    _emit(
+        "recurrent_env_transitions_per_s_with_update",
+        tps,
+        "transitions/s",
+        tps / REFERENCE_TRANSITIONS_PER_S,
+    )
+
+
+def bench_continuous_squashed() -> None:
+    from rl8_tpu import AlgorithmConfig
+    from rl8_tpu.distributions import SquashedNormal
+    from rl8_tpu.env import ContinuousDummyEnv
+
+    num_envs, horizon = 8192, 32
+    algo = AlgorithmConfig(
+        num_envs=num_envs,
+        horizon=horizon,
+        distribution_cls=SquashedNormal,
+        gamma=0.99,
+        gae_lambda=0.95,
+        entropy_coeff=0.0,
+    ).build(ContinuousDummyEnv)
+    tps = _throughput(algo, num_envs, horizon)
+    _emit(
+        "continuous_squashed_env_transitions_per_s_with_update",
+        tps,
+        "transitions/s",
+        tps / REFERENCE_TRANSITIONS_PER_S,
+    )
+
+
+def bench_cartpole_time_to_solve() -> None:
+    from examples.cartpole.env import CartPole
+    from rl8_tpu import AlgorithmConfig
+
+    # The reference example's run hyperparameters
+    # (``/root/reference/examples/cartpole/__main__.py:11-22``).
+    algo = AlgorithmConfig(horizon=64).build(CartPole)
+    threshold = -16.0  # ~-0.25 shaped cost/step over 64 steps ~= solved
+    algo.train_steps(1)  # compile + first step
+    start = time.perf_counter()
+    seconds = None
+    for _ in range(2, 101):
+        stats = algo.train_steps(1)[0]
+        if stats["returns/mean"] > threshold:
+            seconds = time.perf_counter() - start
+            break
+    value = seconds if seconds is not None else float("inf")
+    _emit(
+        "cartpole_seconds_to_solve_post_compile",
+        value,
+        "s",
+        CARTPOLE_BASELINE_SECONDS / value if value else float("inf"),
+    )
+
+
+def bench_algotrading() -> None:
+    from examples.algotrading.env import AlgoTrading
+    from rl8_tpu import AlgorithmConfig
+
+    num_envs, horizon = 4096, 32
+    algo = AlgorithmConfig(
+        num_envs=num_envs,
+        horizon=horizon,
+        accumulate_grads=True,
+        enable_amp=True,
+        sgd_minibatch_size=num_envs * horizon // 4,
+    ).build(AlgoTrading)
+    tps = _throughput(algo, num_envs, horizon, iters=5)
+    _emit(
+        "algotrading_env_transitions_per_s_with_update",
+        tps,
+        "transitions/s",
+        tps / REFERENCE_TRANSITIONS_PER_S,
+    )
+
+
+def main() -> None:
+    bench_feedforward()
+    for bench in (
+        bench_recurrent,
+        bench_continuous_squashed,
+        bench_cartpole_time_to_solve,
+        bench_algotrading,
+    ):
+        try:
+            bench()
+        except Exception as e:  # keep the headline line even if one
+            # tracked config fails on this platform
+            print(
+                json.dumps(
+                    {"metric": bench.__name__, "error": f"{type(e).__name__}: {e}"}
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -7,20 +7,28 @@ reference's CPU-only CI, ``/root/reference/.github/workflows/test.yml``).
 The surrounding environment may preset ``JAX_PLATFORMS`` to a real
 accelerator and import jax at interpreter startup (sitecustomize), so the
 platform must be forced via ``jax.config`` — env vars alone are too late.
+
+Set ``RL8_TPU_TESTS_ON_TPU=1`` to leave the platform alone and run the
+hardware-only tests (``-m tpu``) on a real TPU; everything else in the
+suite assumes the CPU mesh and should be deselected in that mode.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_ON_TPU = bool(os.environ.get("RL8_TPU_TESTS_ON_TPU"))
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
-assert jax.default_backend() == "cpu", "tests must run on CPU"
-assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"
+    assert jax.default_backend() == "cpu", "tests must run on CPU"
+    assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"

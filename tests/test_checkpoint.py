@@ -9,6 +9,8 @@ from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
 from rl8_tpu.checkpoint import restore_checkpoint, save_checkpoint
 from rl8_tpu.env import DiscreteDummyEnv
 
+pytestmark = pytest.mark.slow  # end-to-end drives; excluded from `-m 'not slow'`
+
 CFG = dict(num_envs=8, horizon=4, model_config={"hiddens": (8,)}, seed=7)
 
 

@@ -9,6 +9,8 @@ import pytest
 from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
 from rl8_tpu.env import ContinuousDummyEnv, DiscreteDummyEnv
 
+pytestmark = pytest.mark.slow  # end-to-end drives; excluded from `-m 'not slow'`
+
 
 def _random_kwargs(rng: random.Random) -> dict:
     return dict(

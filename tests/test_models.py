@@ -114,6 +114,7 @@ def test_recurrent_continuous_model_forward() -> None:
     assert values.shape == (B, 1)
 
 
+@pytest.mark.slow
 def test_recurrent_state_propagation_matters() -> None:
     """Stepping one step at a time with threaded states must equal a single
     multi-step forward."""
@@ -149,6 +150,7 @@ def test_positional_embedding_odd_dim() -> None:
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_recurrent_amp_dtype_threads_through() -> None:
     """enable_amp's bf16 dtype must reach the LSTM cells and heads (it
     was silently a no-op: only the observations were cast)."""

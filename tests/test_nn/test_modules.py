@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -109,6 +110,7 @@ def test_pointer_network() -> None:
     assert jnp.allclose(sums, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_perceiver_layers() -> None:
     q = jnp.ones((2, 4, 8))
     kv = jnp.ones((2, 10, 8))

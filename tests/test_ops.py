@@ -125,6 +125,7 @@ def _perturbed_params(model, batch):
 
 
 @pytest.mark.parametrize("n_rows", [16, 37])  # 37 exercises row masking
+@pytest.mark.slow
 def test_fused_apply_matches_flax_discrete(n_rows: int) -> None:
     """Fused Pallas forward/backward equals the flax default discrete
     model to matmul (bf16-multiply) precision."""
@@ -157,6 +158,7 @@ def test_fused_apply_matches_flax_discrete(n_rows: int) -> None:
     jax.tree_util.tree_map(lambda a, b: _norm_close(a, b, 8e-2), g_ref, g_fused)
 
 
+@pytest.mark.slow
 def test_fused_apply_matches_flax_continuous() -> None:
     from rl8_tpu.data import DataKeys
     from rl8_tpu.models import DefaultContinuousModel
@@ -246,6 +248,7 @@ def test_supports_fused_apply_gating() -> None:
         ("squashed", False, 2.0),
     ],
 )
+@pytest.mark.slow
 def test_fused_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
     """The fused PPO kernel reproduces ppo_losses + jax.grad through the
     flax model: losses, approximate KL, and every parameter gradient."""
@@ -344,6 +347,7 @@ def test_supports_fused_update_gating() -> None:
 # ----------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_fused_act_deterministic_and_logp_consistency() -> None:
     """Deterministic fused acting equals the distribution's argmax/mean
     path, and stochastic log-probs are self-consistent with the returned
@@ -410,6 +414,7 @@ def test_fused_act_deterministic_and_logp_consistency() -> None:
         ("discrete2layer", False, None),
     ],
 )
+@pytest.mark.slow
 def test_fused_rnn_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
     """The fused LSTM-BPTT PPO kernel reproduces ppo_losses + jax.grad
     through the flax recurrent model for every parameter."""
@@ -533,6 +538,7 @@ def test_supports_fused_rnn_update_gating() -> None:
     assert not supports_fused_rnn_update(too_deep, Categorical)
 
 
+@pytest.mark.slow
 def test_fused_rnn_act_deterministic_matches_flax() -> None:
     """The recurrent act kernel's deterministic path equals the flax
     cell + argmax/mean path, including the carried LSTM state."""

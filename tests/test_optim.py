@@ -1,5 +1,6 @@
 """Flattened-optimizer equivalence tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ def _params():
     }
 
 
+@pytest.mark.slow
 def test_flatten_optimizer_matches_pytree_optimizer() -> None:
     params = _params()
     grads = jax.tree_util.tree_map(

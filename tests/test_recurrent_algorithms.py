@@ -17,6 +17,7 @@ SMALL = {"hidden_size": 8}
 
 
 @pytest.mark.parametrize("env_cls", [ContinuousDummyEnv, DiscreteDummyEnv])
+@pytest.mark.slow
 def test_recurrent_accumulation_equivalence(env_cls) -> None:
     SEED = 42
     ENTROPY_COEFF = 1e-2 if env_cls is DiscreteDummyEnv else 0.0
@@ -81,6 +82,7 @@ def test_recurrent_algorithm_seq_counters() -> None:
     assert int(algo.state.seqs) == HORIZON
 
 
+@pytest.mark.slow
 def test_recurrent_states_reset_on_cadence() -> None:
     """With seqs_per_state_reset=1, stored states re-init at every
     sequence boundary; with a longer cadence they persist."""
@@ -101,6 +103,7 @@ def test_recurrent_states_reset_on_cadence() -> None:
     assert float(jnp.abs(states[3]).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_recurrent_states_never_reset_when_negative() -> None:
     algo = RecurrentAlgorithmConfig(
         horizon=4,
@@ -130,6 +133,7 @@ def test_recurrent_step_requires_collect() -> None:
         algo.step()
 
 
+@pytest.mark.slow
 def test_recurrent_learning_on_discrete_dummy_env() -> None:
     algo = RecurrentAlgorithmConfig(
         num_envs=64,

@@ -57,6 +57,7 @@ def test_trainer_eval(make_trainer) -> None:
 
 
 @pytest.mark.parametrize("make_trainer", [_ff_trainer, _rec_trainer])
+@pytest.mark.slow
 def test_trainer_eval_runtime_error(make_trainer) -> None:
     trainer = make_trainer()
     trainer.step()
@@ -65,6 +66,7 @@ def test_trainer_eval_runtime_error(make_trainer) -> None:
 
 
 @pytest.mark.parametrize("make_trainer", [_ff_trainer, _rec_trainer])
+@pytest.mark.slow
 def test_trainer_step(make_trainer) -> None:
     trainer = make_trainer()
     trainer.step()
@@ -74,6 +76,7 @@ def test_trainer_step(make_trainer) -> None:
 
 
 @pytest.mark.parametrize("make_trainer", [_ff_trainer, _rec_trainer])
+@pytest.mark.slow
 def test_trainer_run(make_trainer) -> None:
     trainer = make_trainer()
     trainer.run(
@@ -94,6 +97,7 @@ def test_trainer_run_value_error(make_trainer) -> None:
 
 
 @pytest.mark.parametrize("make_trainer", [_ff_trainer, _rec_trainer])
+@pytest.mark.slow
 def test_trainer_run_fused(make_trainer) -> None:
     trainer = make_trainer()
     stats = trainer.run(
