@@ -147,12 +147,18 @@ def bench_cartpole_time_to_solve() -> None:
 
 def bench_algotrading() -> None:
     from examples.algotrading.env import AlgoTrading
+    from examples.algotrading.models import MischievousMule
     from rl8_tpu import AlgorithmConfig
 
     num_envs, horizon = 4096, 32
+    import jax.numpy as jnp
+
     algo = AlgorithmConfig(
         num_envs=num_envs,
         horizon=horizon,
+        model_cls=MischievousMule,
+        # Custom models opt into AMP via their compute dtype.
+        model_config={"dtype": jnp.bfloat16},
         accumulate_grads=True,
         enable_amp=True,
         sgd_minibatch_size=num_envs * horizon // 4,
