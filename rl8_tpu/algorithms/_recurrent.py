@@ -769,8 +769,8 @@ class RecurrentAlgorithm(
         (``/root/reference/src/rl8/algorithms/_recurrent.py:481-652``)."""
         if not bool(jax.device_get(self.state.buffered)):
             raise RuntimeError(
-                f"{self.__class__.__name__} is not buffered. "
-                "Call `collect` once prior to `step`."
+                f"{self.__class__.__name__} has no buffered rollout to train"
+                " on — every `step` must be preceded by a `collect`."
             )
         with profile_ms() as step_timer:
             entropy_coeff = (

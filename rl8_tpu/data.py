@@ -110,7 +110,7 @@ class AlgorithmHparams:
             raise ValueError("`sgd_minibatch_size` must be > 0.")
         if self.target_kl_div is not None and self.accumulate_grads:
             raise ValueError(
-                "Early-stopping using `target_kl_div` is not compatible with"
+                "KL-based early stopping (`target_kl_div`) can't be combined with"
                 " gradient accumulation."
             )
         if self.target_kl_div is not None and not (self.target_kl_div > 0):
@@ -121,9 +121,10 @@ class AlgorithmHparams:
             raise ValueError("`vf_coeff` must be > 0.")
         if self.accumulate_grads and (self.num_minibatches == 1):
             raise ValueError(
-                "`accumulate_grads` is `True` but there's only one minibatch"
-                " during training, making gradient accumulation irrelevant."
-                " Update `sgd_minibatch_size` or disable `accumulate_grads`."
+                "With a whole-buffer minibatch there is nothing to"
+                " accumulate over: `accumulate_grads=True` requires more than"
+                " one minibatch. Shrink `sgd_minibatch_size` or disable"
+                " `accumulate_grads`."
             )
 
     @property
@@ -131,10 +132,10 @@ class AlgorithmHparams:
         return (self.num_envs * self.horizon) // self.sgd_minibatch_size
 
     def validate(self) -> "AlgorithmHparams":
-        """Extra validation that can't go in the post init."""
+        """Cross-field validation deferred past ``__post_init__``."""
         if (self.num_envs * self.horizon) % self.sgd_minibatch_size:
             raise ValueError(
-                "`sgd_minibatch_size` must be a factor of `num_envs * horizon`."
+                "`sgd_minibatch_size` must divide `num_envs * horizon` evenly."
             )
         return self
 

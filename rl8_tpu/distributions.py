@@ -70,7 +70,7 @@ class Distribution(ABC):
 
     @abstractmethod
     def deterministic_sample(self) -> Any:
-        """Draw a deterministic sample from the probability distribution."""
+        """Return the distribution's deterministic (mode) sample."""
 
     @abstractmethod
     def entropy(self) -> jax.Array:
@@ -82,7 +82,7 @@ class Distribution(ABC):
 
     @abstractmethod
     def sample(self, key: jax.Array) -> Any:
-        """Draw a stochastic sample from the probability distribution."""
+        """Draw a random sample using the given PRNG key."""
 
 
 class Categorical(Distribution):
@@ -163,8 +163,8 @@ class SquashedNormal(Normal):
 
     def entropy(self) -> jax.Array:
         raise NotImplementedError(
-            f"Entropy isn't defined for {self.__class__.__name__}. Set the"
-            " entropy coefficient to `0` to avoid this error during training."
+            f"{self.__class__.__name__} has no closed-form entropy;"
+            " train with the entropy coefficient set to `0`."
         )
 
     def logp(self, samples: jax.Array) -> jax.Array:

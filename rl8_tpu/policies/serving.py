@@ -36,7 +36,7 @@ def get_batch_size_from_model_input(x: Any, /) -> tuple[int, int]:
         raise TypeError("Empty mapping has no batch size.")
     arr = np.asarray(x)
     if arr.ndim < 3:
-        raise ValueError("Policy model input element must have dimension >= 3.")
+        raise ValueError("Serving inputs must be batched `[B, T, ...]` arrays (ndim >= 3).")
     return int(arr.shape[0]), int(arr.shape[1])
 
 

@@ -65,9 +65,8 @@ class InterpScheduler:
     def __init__(self, schedule: list[tuple[int, float]], /) -> None:
         if schedule[0][0]:
             raise ValueError(
-                f"{self.__class__.__name__} `schedule` arg's first step value"
-                " (i.e., `schedule[0][0]`) must be `0` to indicate the"
-                " scheduler's initial value."
+                f"{self.__class__.__name__} schedules must start at step 0"
+                " (`schedule[0][0] == 0`), which defines the initial value."
             )
         self.x = [int(x) for x, _ in schedule]
         self.y = [float(y) for _, y in schedule]
@@ -91,9 +90,8 @@ class StepScheduler:
     def __init__(self, schedule: list[tuple[int, float]], /) -> None:
         if schedule[0][0]:
             raise ValueError(
-                f"{self.__class__.__name__} `schedule` arg's first step value"
-                " (i.e., `schedule[0][0]`) must be `0` to indicate the"
-                " scheduler's initial value."
+                f"{self.__class__.__name__} schedules must start at step 0"
+                " (`schedule[0][0] == 0`), which defines the initial value."
             )
         self.schedule = schedule
 

@@ -90,11 +90,9 @@ class GenericTrainerBase(Generic[_Algorithm]):
             and self.state["algorithm/collects"]
         ):
             raise ValueError(
-                "An eval environment config was provided even though the"
-                " environment is not expected to use the config because"
-                " `horizons_per_env_reset` is < 0 (indicating the environment"
-                " is reset just once at the beginning of training). Either 1)"
-                " do not provide an eval environment config, or 2) set"
+                "`horizons_per_env_reset` < 0 means the environment resets"
+                " exactly once at startup, so an eval env config would never"
+                " be applied. Drop the eval env config, or set"
                 " `horizons_per_env_reset` > 0."
             )
         if (
@@ -103,10 +101,10 @@ class GenericTrainerBase(Generic[_Algorithm]):
             % self.algorithm.horizons_per_env_reset
         ):
             raise RuntimeError(
-                f"{self.eval.__qualname__} can only be called every"
-                " `horizons_per_env_reset`. This is necessary because"
-                " algorithms share the same buffer when collecting experiences"
-                " for training and for evaluation."
+                f"{self.eval.__qualname__} is only valid on a"
+                " `horizons_per_env_reset` boundary: training and evaluation"
+                " collect into one shared rollout buffer, so an off-boundary"
+                " eval would clobber partially-collected training data."
             )
         stats: dict[str, list[float]] = defaultdict(list)
         horizons_per_env_reset = max(1, self.algorithm.horizons_per_env_reset)
@@ -184,11 +182,9 @@ class GenericTrainerBase(Generic[_Algorithm]):
             and eval_env_config
         ):
             raise ValueError(
-                "An eval environment config was provided even though the"
-                " environment is not expected to use the config because"
-                " `horizons_per_env_reset` is < 0 (indicating the environment"
-                " is reset just once at the beginning of training). Either 1)"
-                " do not provide an eval environment config, or 2) set"
+                "`horizons_per_env_reset` < 0 means the environment resets"
+                " exactly once at startup, so an eval env config would never"
+                " be applied. Drop the eval env config, or set"
                 " `horizons_per_env_reset` > 0."
             )
         if (
@@ -197,9 +193,9 @@ class GenericTrainerBase(Generic[_Algorithm]):
             and steps_per_eval % self.algorithm.horizons_per_env_reset
         ):
             raise ValueError(
-                f"{self.eval.__qualname__} can only be called every"
-                " `horizons_per_env_reset`. Set `steps_per_eval` to a"
-                " multiple of `horizons_per_env_reset` to avoid this error."
+                f"{self.eval.__qualname__} is only valid on a"
+                " `horizons_per_env_reset` boundary; set `steps_per_eval` to"
+                " a multiple of `horizons_per_env_reset`."
             )
         if fused_steps and steps_per_eval and steps_per_eval % fused_steps:
             raise ValueError(
