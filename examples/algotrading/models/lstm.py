@@ -69,28 +69,34 @@ class LazyLemur(GenericRecurrentModel):
             ],
             axis=-1,
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         latents, h_n, c_n = _StackedLSTM(
-            self.hidden_size, self.num_layers, name="lstm"
+            self.hidden_size, self.num_layers, dtype=self.dtype, name="lstm"
         )(x, states[DataKeys.HIDDEN_STATES], states[DataKeys.CELL_STATES])
         latents = latents.reshape(B * T, -1)
         act = get_activation(self.activation_fn)
         feats = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
-                name="feature_model")(latents)
+                dtype=self.dtype, name="feature_model")(latents)
         )
         logits = nn.Dense(
             3,
             kernel_init=small_uniform_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="feature_head",
-        )(feats).reshape(-1, 1, 3)
+        )(feats).reshape(-1, 1, 3).astype(jnp.float32)
         inf_mask = jnp.clip(
             jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
         ).reshape(-1, 1, 3)
         vf_latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
-                name="vf_model")(latents)
+                dtype=self.dtype, name="vf_model")(latents)
         )
-        values = nn.Dense(1, name="vf_head")(vf_latents)
-        new_states = {DataKeys.HIDDEN_STATES: h_n, DataKeys.CELL_STATES: c_n}
-        return ({"logits": logits + inf_mask}, values), new_states
+        values = nn.Dense(1, dtype=self.dtype, name="vf_head")(vf_latents)
+        new_states = {
+            DataKeys.HIDDEN_STATES: h_n.astype(jnp.float32),
+            DataKeys.CELL_STATES: c_n.astype(jnp.float32),
+        }
+        return ({"logits": logits + inf_mask}, values.astype(jnp.float32)), new_states

@@ -80,23 +80,26 @@ class AttentiveAlpaca(GenericModel):
         x = jnp.concatenate(
             [x_invested, obs["LOG_CHANGE(price, position)"], x_price], axis=-1
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         act = get_activation(self.activation_fn)
         latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
-                name="feature_model")(x)
+                dtype=self.dtype, name="feature_model")(x)
         )
         logits = nn.Dense(
             3,
             kernel_init=small_uniform_init(),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="feature_head",
-        )(latents).reshape(-1, 1, 3)
+        )(latents).reshape(-1, 1, 3).astype(jnp.float32)
         inf_mask = jnp.clip(
             jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
         ).reshape(-1, 1, 3)
         vf_latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
-                name="vf_model")(x)
+                dtype=self.dtype, name="vf_model")(x)
         )
-        values = nn.Dense(1, name="vf_head")(vf_latents)
-        return {"logits": logits + inf_mask}, values
+        values = nn.Dense(1, dtype=self.dtype, name="vf_head")(vf_latents)
+        return {"logits": logits + inf_mask}, values.astype(jnp.float32)

@@ -1,7 +1,7 @@
 """Custom flax modules (counterpart of
 ``/root/reference/src/rl8/nn/modules/__init__.py``)."""
 
-from .activations import ACTIVATIONS, get_activation, squared_relu
+from .activations import ACTIVATIONS, SquaredReLU, get_activation, squared_relu
 from .attention import CrossAttention, PointerNetwork, SelfAttention, SelfAttentionStack
 from .embeddings import PositionalEmbedding
 from .mlp import MLP
@@ -10,6 +10,7 @@ from .skip import SequentialSkipConnection
 
 __all__ = [
     "ACTIVATIONS",
+    "SquaredReLU",
     "CrossAttention",
     "MLP",
     "PerceiverIOLayer",

@@ -12,12 +12,21 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ACTIVATIONS", "get_activation", "squared_relu"]
+__all__ = ["ACTIVATIONS", "SquaredReLU", "get_activation", "squared_relu"]
 
 
 def squared_relu(x: jax.Array) -> jax.Array:
     """ReLU squared, from `Primer <https://arxiv.org/abs/2109.08668>`_."""
     return jnp.square(jax.nn.relu(x))
+
+
+class SquaredReLU:
+    """Module-style wrapper over :func:`squared_relu`, mirroring the
+    reference's class form
+    (``/root/reference/src/rl8/nn/modules/activations.py:12-48``)."""
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return squared_relu(x)
 
 
 def _hard_shrink(x: jax.Array, lambd: float = 0.5) -> jax.Array:

@@ -22,6 +22,8 @@ from ._recurrent import RecurrentPolicy
 __all__ = [
     "PolicyModel",
     "RecurrentPolicyModel",
+    "MLflowPolicyModel",
+    "MLflowRecurrentPolicyModel",
     "get_batch_size_from_model_input",
 ]
 
@@ -167,3 +169,11 @@ class RecurrentPolicyModel:
         }
         states_flat = {k: v for k, v in new_states.items()}
         return _to_dataframe(selected, B * T), _to_dataframe(states_flat, B)
+
+
+#: Aliases under the reference's class names
+#: (``/root/reference/src/rl8/policies/_feedforward.py:193``,
+#: ``_recurrent.py:189``) so users migrating from rl8 find the serving
+#: shims where they expect them.
+MLflowPolicyModel = PolicyModel
+MLflowRecurrentPolicyModel = RecurrentPolicyModel
