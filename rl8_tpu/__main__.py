@@ -62,6 +62,24 @@ def main(argv: None | list[str] = None) -> int:
         help="Directory for JSONL metric tracking (a temp dir by default).",
     )
     train_parser.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="Directory for periodic full-state checkpoints. If it"
+        " already holds a checkpoint, training resumes from it"
+        " (preemption-safe restarts; --no-resume to overwrite).",
+    )
+    train_parser.add_argument(
+        "--steps-per-checkpoint",
+        type=int,
+        default=1,
+        help="Trainer steps between checkpoints (with --checkpoint-dir).",
+    )
+    train_parser.add_argument(
+        "--no-resume",
+        action="store_true",
+        help="Ignore any existing checkpoint in --checkpoint-dir.",
+    )
+    train_parser.add_argument(
         "--mlflow",
         action="store_true",
         help="Track with MLflow instead of JSONL files.",
@@ -85,6 +103,11 @@ def main(argv: None | list[str] = None) -> int:
     trainer.run(
         steps_per_eval=args.steps_per_eval,
         stop_conditions=[HitsUpperBound("algorithm/steps", args.max_steps)],
+        checkpoint_dir=args.checkpoint_dir,
+        steps_per_checkpoint=(
+            args.steps_per_checkpoint if args.checkpoint_dir else None
+        ),
+        resume=not args.no_resume,
     )
     if args.save:
         save_dir = pathlib.Path(args.save)

@@ -19,7 +19,17 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["save_checkpoint", "restore_checkpoint"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "checkpoint_exists"]
+
+
+def checkpoint_exists(directory: str | os.PathLike[str], /) -> bool:
+    """Whether ``directory`` holds a complete checkpoint written by
+    :func:`save_checkpoint` (the host-state file is written last, so its
+    presence implies the orbax state tree is complete)."""
+    directory = os.path.abspath(directory)
+    return os.path.exists(
+        os.path.join(directory, "host_state.json")
+    ) and os.path.isdir(os.path.join(directory, "state"))
 
 
 def _encode_rng(state: Any) -> Any:

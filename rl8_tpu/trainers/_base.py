@@ -151,6 +151,7 @@ class GenericTrainerBase(Generic[_Algorithm]):
         fused_steps: None | int = None,
         steps_per_checkpoint: None | int = None,
         checkpoint_dir: Any = None,
+        resume: bool = True,
     ) -> TrainStats:
         """Train until any stop condition is satisfied
         (``trainers/_base.py:104-174``). Runs indefinitely without stop
@@ -163,9 +164,13 @@ class GenericTrainerBase(Generic[_Algorithm]):
             steps_per_eval: Trainer steps between evals.
             stop_conditions: Any one evaluating ``True`` stops training.
             steps_per_checkpoint: Trainer steps between full-state
-                checkpoints (requires ``checkpoint_dir``); restart with
-                :meth:`restore_checkpoint` after a preemption.
+                checkpoints (requires ``checkpoint_dir``).
             checkpoint_dir: Directory for periodic checkpoints.
+            resume: When ``checkpoint_dir`` already holds a checkpoint,
+                restore it before training (default) — rerunning the
+                same command after a preemption continues where the run
+                left off, no extra restart code needed. Pass ``False``
+                to overwrite instead.
 
         Returns:
             The most recent train stats when training stops.
@@ -208,6 +213,11 @@ class GenericTrainerBase(Generic[_Algorithm]):
             )
         eval_env_config = eval_env_config or env_config
         stop_conditions = stop_conditions or []
+        if checkpoint_dir and resume:
+            from ..checkpoint import checkpoint_exists
+
+            if checkpoint_exists(checkpoint_dir):
+                self.restore_checkpoint(checkpoint_dir)
 
         def _maybe_checkpoint() -> None:
             if (

@@ -132,3 +132,45 @@ def test_sharded_checkpoint_round_trip(tmp_path) -> None:
     assert not restored.state.buffer[DataKeys.OBS].sharding.is_fully_replicated
     restored.step()
     restored.collect()
+
+def test_trainer_run_auto_resumes_from_checkpoint_dir(tmp_path) -> None:
+    """Re-running `run(checkpoint_dir=...)` after an interruption picks
+    up from the last checkpoint automatically (preemption-safe restart
+    loops need no extra code); `resume=False` starts over."""
+    from rl8_tpu import AlgorithmConfig, Trainer
+    from rl8_tpu.conditions import HitsUpperBound
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    def make():
+        algo = AlgorithmConfig(
+            num_envs=16, horizon=4, model_config={"hiddens": (8,)}, seed=7
+        ).build(DiscreteDummyEnv)
+        return Trainer(algo)
+
+    ckpt = tmp_path / "ckpt"
+    trainer = make()
+    trainer.run(
+        stop_conditions=[HitsUpperBound("algorithm/steps", 3)],
+        steps_per_checkpoint=1,
+        checkpoint_dir=ckpt,
+    )
+
+    # Same command re-run "after a preemption": resumes at step 3.
+    resumed = make()
+    resumed.run(
+        stop_conditions=[HitsUpperBound("algorithm/steps", 5)],
+        steps_per_checkpoint=1,
+        checkpoint_dir=ckpt,
+    )
+    assert resumed.state["algorithm/steps"] == 5
+    assert resumed.state["env/steps"] == 5 * 16 * 4
+
+    # resume=False ignores the existing checkpoint and starts fresh.
+    fresh = make()
+    fresh.run(
+        stop_conditions=[HitsUpperBound("algorithm/steps", 1)],
+        steps_per_checkpoint=1,
+        checkpoint_dir=ckpt,
+        resume=False,
+    )
+    assert fresh.state["algorithm/steps"] == 1
