@@ -130,18 +130,29 @@ def bench_cartpole_time_to_solve() -> None:
     threshold = -16.0  # ~-0.25 shaped cost/step over 64 steps ~= solved
     algo.train_steps(1)  # compile + first step
     start = time.perf_counter()
-    seconds = None
+    solved = False
     for _ in range(2, 101):
         stats = algo.train_steps(1)[0]
         if stats["returns/mean"] > threshold:
-            seconds = time.perf_counter() - start
+            solved = True
             break
-    value = seconds if seconds is not None else float("inf")
-    _emit(
-        "cartpole_seconds_to_solve_post_compile",
-        value,
-        "s",
-        CARTPOLE_BASELINE_SECONDS / value if value else float("inf"),
+    # When unsolved, report the full budget's wall time with
+    # vs_baseline=0 — strictly-valid JSON either way (json.dumps of
+    # float("inf") would emit the non-RFC `Infinity` token).
+    value = time.perf_counter() - start
+    print(
+        json.dumps(
+            {
+                "metric": "cartpole_seconds_to_solve_post_compile",
+                "value": value,
+                "unit": "s",
+                "vs_baseline": (
+                    CARTPOLE_BASELINE_SECONDS / value if solved else 0.0
+                ),
+                "solved": solved,
+            }
+        ),
+        flush=True,
     )
 
 

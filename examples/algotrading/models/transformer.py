@@ -63,9 +63,9 @@ class AttentiveAlpaca(GenericModel):
             obs["invested"].reshape(-1)
         )
         padding_mask = obs["LOG_CHANGE(price)"][DataKeys.PADDING_MASK]
-        x_price = nn.Dense(self.price_embed_dim, name="price_embedding")(
-            obs["LOG_CHANGE(price)"][DataKeys.INPUTS]
-        )
+        x_price = nn.Dense(
+            self.price_embed_dim, dtype=self.dtype, name="price_embedding"
+        )(obs["LOG_CHANGE(price)"][DataKeys.INPUTS])
         x_price = SelfAttentionStack(
             embed_dim=self.price_embed_dim,
             num_layers=self.num_layers,
@@ -74,6 +74,7 @@ class AttentiveAlpaca(GenericModel):
             activation_fn=self.activation_fn,
             skip_kind="residual",
             share_parameters=True,
+            dtype=self.dtype,
             name="price_attention",
         )(x_price, padding_mask)
         x_price = masked_avg(x_price, mask=~padding_mask, dim=1, keepdim=False)

@@ -462,6 +462,21 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             for root, w in nonobs.items()
         }
 
+    def _training_view_batch(self, buffer: dict[str, Any]) -> dict[str, Any]:
+        """Time-major buffer ``[T(+1), B, ...]`` -> the ``[B, T, ...]``
+        batch the model's ``kind="all"`` view requirements consume (obs
+        plus any windowed non-obs keys) — the single definition shared
+        by the training step and :meth:`validate`."""
+        T = self.hparams.horizon
+        batch: dict[str, Any] = {
+            DataKeys.OBS: jax.tree_util.tree_map(
+                lambda x: jnp.swapaxes(x[:T], 0, 1), buffer[DataKeys.OBS]
+            )
+        }
+        for root in self._nonobs_view_roots:
+            batch[root] = jnp.swapaxes(buffer[root][:T], 0, 1)
+        return batch
+
     def _build_last_views(
         self,
         window: Any,
@@ -799,13 +814,9 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         # window past actions/rewards/logp/values exactly like the
         # reference (``_feedforward.py:469-482``; view application over
         # the full buffer at ``policies/_feedforward.py:135-138``).
-        obs_bt = jax.tree_util.tree_map(
-            lambda x: jnp.swapaxes(x[:T], 0, 1), buffer[DataKeys.OBS]
+        views = model.apply_view_requirements(
+            self._training_view_batch(buffer), kind="all"
         )
-        view_batch: dict[str, Any] = {DataKeys.OBS: obs_bt}
-        for root in self._nonobs_view_roots:
-            view_batch[root] = jnp.swapaxes(buffer[root][:T], 0, 1)
-        views = model.apply_view_requirements(view_batch, kind="all")
         flat = {
             DataKeys.ACTIONS: _t2b(buffer[DataKeys.ACTIONS]),
             DataKeys.LOGP: _t2b(buffer[DataKeys.LOGP]),
@@ -1227,24 +1238,24 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         # into a single [B * T] batch that aligns with the flattened
         # buffer the PPO update consumes (the alignment the reference's
         # buffer scatter-asserts enforce, ``_feedforward.py:617-698``).
+        # The check runs on a small env slice — the folding contract is
+        # batch-size-independent, and the full [B * T] forward would be
+        # a transient allocation up to ``num_minibatches`` times larger
+        # than anything training materializes.
         T = self.hparams.horizon
-        buffer = self._zero_buffer()
-        view_batch = {
-            DataKeys.OBS: jax.tree_util.tree_map(
-                lambda x: jnp.swapaxes(x[:T], 0, 1), buffer[DataKeys.OBS]
-            )
-        }
-        for root in self._nonobs_view_roots:
-            view_batch[root] = jnp.swapaxes(buffer[root][:T], 0, 1)
+        Bv = min(B, 2)
+        view_batch = jax.tree_util.tree_map(
+            lambda x: x[:Bv], self._training_view_batch(self._zero_buffer())
+        )
         views = self.policy.model.apply_view_requirements(
             view_batch, kind="all"
         )
         leading = {
             leaf.shape[0] for leaf in jax.tree_util.tree_leaves(views)
         }
-        assert leading == {B * T}, (
+        assert leading == {Bv * T}, (
             "`apply_view_requirements(kind='all')` must produce a batch of"
-            f" size ``[B * T, ...]`` = [{B * T}, ...] aligned with the"
+            f" size ``[B * T, ...]`` = [{Bv * T}, ...] aligned with the"
             f" flattened rollout buffer; got leading sizes {leading}."
         )
         sample_all = self.policy.sample(
@@ -1257,10 +1268,10 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             return_logp=True,
             return_values=True,
         )
-        assert sample_all[DataKeys.LOGP].shape == (B * T, 1), (
+        assert sample_all[DataKeys.LOGP].shape == (Bv * T, 1), (
             "Training-path action log probabilities must have shape"
             " ``[B * T, 1]``."
         )
-        assert sample_all[DataKeys.VALUES].shape == (B * T, 1), (
+        assert sample_all[DataKeys.VALUES].shape == (Bv * T, 1), (
             "Training-path value estimates must have shape ``[B * T, 1]``."
         )

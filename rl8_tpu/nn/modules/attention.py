@@ -14,6 +14,7 @@ Mask conventions (consistent across this module):
 from __future__ import annotations
 
 from functools import partial
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -91,14 +92,15 @@ class _FFN(nn.Module):
     activation_fn: str
     dropout: float
     deterministic: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.LayerNorm()(x)
-        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
         x = get_activation(self.activation_fn)(x)
         x = nn.Dropout(rate=self.dropout, deterministic=self.deterministic)(x)
-        return nn.Dense(self.out_dim)(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
 
 
 class _AttentionBlock(nn.Module):
@@ -112,6 +114,8 @@ class _AttentionBlock(nn.Module):
     attention_dropout: float = 0.0
     hidden_dropout: float = 0.0
     skip_kind: None | str = "cat"
+    #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU AMP.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -123,8 +127,12 @@ class _AttentionBlock(nn.Module):
         *,
         deterministic: bool = True,
     ) -> jax.Array:
-        q_normed = nn.LayerNorm(name="q_norm")(q)
-        kv_normed = nn.LayerNorm(name="kv_norm")(kv) if kv is not q else q_normed
+        q_normed = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
+        kv_normed = (
+            nn.LayerNorm(dtype=self.dtype, name="kv_norm")(kv)
+            if kv is not q
+            else q_normed
+        )
         mask = _combine_masks(
             q.shape[0], q.shape[1], kv.shape[1], key_padding_mask, attention_mask
         )
@@ -132,6 +140,7 @@ class _AttentionBlock(nn.Module):
             num_heads=self.num_heads,
             dropout_rate=self.attention_dropout,
             deterministic=deterministic,
+            dtype=self.dtype,
             name="attention",
         )(q_normed, kv_normed, kv_normed, mask=mask)
 
@@ -146,12 +155,14 @@ class _AttentionBlock(nn.Module):
                 activation_fn=self.activation_fn,
                 dropout=self.hidden_dropout,
                 deterministic=deterministic,
+                dtype=self.dtype,
             )
 
         return SequentialSkipConnection(
             embed_dim=self.embed_dim,
             kind=self.skip_kind,
             layers=(make_mlp,),
+            dtype=self.dtype,
             name="skip_connection",
         )(q, attn)
 
@@ -178,6 +189,8 @@ class CrossAttention(nn.Module):
     attention_dropout: float = 0.0
     hidden_dropout: float = 0.0
     skip_kind: None | str = "cat"
+    #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU AMP.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -198,6 +211,7 @@ class CrossAttention(nn.Module):
             attention_dropout=self.attention_dropout,
             hidden_dropout=self.hidden_dropout,
             skip_kind=self.skip_kind,
+            dtype=self.dtype,
             name="block",
         )(q, kv, key_padding_mask, attention_mask, deterministic=deterministic)
 
@@ -213,6 +227,8 @@ class SelfAttention(nn.Module):
     attention_dropout: float = 0.0
     hidden_dropout: float = 0.0
     skip_kind: None | str = "cat"
+    #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU AMP.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -232,6 +248,7 @@ class SelfAttention(nn.Module):
             attention_dropout=self.attention_dropout,
             hidden_dropout=self.hidden_dropout,
             skip_kind=self.skip_kind,
+            dtype=self.dtype,
             name="block",
         )(x, x, key_padding_mask, attention_mask, deterministic=deterministic)
 
@@ -255,6 +272,8 @@ class SelfAttentionStack(nn.Module):
     hidden_dropout: float = 0.0
     skip_kind: None | str = "cat"
     share_parameters: bool = False
+    #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU AMP.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -274,6 +293,7 @@ class SelfAttentionStack(nn.Module):
             attention_dropout=self.attention_dropout,
             hidden_dropout=self.hidden_dropout,
             skip_kind=self.skip_kind,
+            dtype=self.dtype,
         )
         out = x
         shared = make(name="layers_shared") if self.share_parameters else None

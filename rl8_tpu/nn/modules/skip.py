@@ -9,7 +9,7 @@ dimension after each concatenation.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -40,15 +40,17 @@ class SequentialSkipConnection(nn.Module):
     embed_dim: int
     kind: None | str = "cat"
     layers: Sequence[Callable[[], nn.Module]] = ()
+    #: Compute dtype for the fan-in linears (params stay f32).
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
         y = skip_connection(x, y, kind=self.kind)
         for make_layer in self.layers:
             if self.kind == "cat":
-                y = nn.Dense(self.embed_dim)(y)
+                y = nn.Dense(self.embed_dim, dtype=self.dtype)(y)
             layer = make_layer()
             y = skip_connection(y, layer(y), kind=self.kind)
         if self.kind == "cat" and self.layers:
-            y = nn.Dense(self.embed_dim)(y)
+            y = nn.Dense(self.embed_dim, dtype=self.dtype)(y)
         return y

@@ -218,6 +218,19 @@ class GenericTrainerBase(Generic[_Algorithm]):
 
             if checkpoint_exists(checkpoint_dir):
                 self.restore_checkpoint(checkpoint_dir)
+                # A restart of an already-finished job must not train
+                # past its bound: evaluate counter-based stop conditions
+                # against the restored counters before stepping (loss/
+                # return-keyed conditions can't be evaluated without a
+                # step and fail the key lookup before mutating state).
+                counter_stats: dict[str, Any] = dict(self.state)
+                for condition in stop_conditions:
+                    try:
+                        met = condition(counter_stats)  # type: ignore[arg-type]
+                    except KeyError:
+                        continue
+                    if met:
+                        return counter_stats  # type: ignore[return-value]
 
         def _maybe_checkpoint() -> None:
             if (

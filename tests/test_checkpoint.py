@@ -165,6 +165,18 @@ def test_trainer_run_auto_resumes_from_checkpoint_dir(tmp_path) -> None:
     assert resumed.state["algorithm/steps"] == 5
     assert resumed.state["env/steps"] == 5 * 16 * 4
 
+    # Rerunning a COMPLETED job must not train past its bound (the
+    # restart loop reruns the same command unconditionally): the stop
+    # condition is checked against the restored counters before any
+    # step runs.
+    done = make()
+    done.run(
+        stop_conditions=[HitsUpperBound("algorithm/steps", 5)],
+        steps_per_checkpoint=1,
+        checkpoint_dir=ckpt,
+    )
+    assert done.state["algorithm/steps"] == 5
+
     # resume=False ignores the existing checkpoint and starts fresh.
     fresh = make()
     fresh.run(
@@ -174,3 +186,49 @@ def test_trainer_run_auto_resumes_from_checkpoint_dir(tmp_path) -> None:
         resume=False,
     )
     assert fresh.state["algorithm/steps"] == 1
+
+
+def test_checkpoint_versioning_prunes_and_survives_partial_saves(tmp_path) -> None:
+    """Saves are versioned with an atomically-updated latest.json: an
+    interrupted save (partial generation dir, latest.json not yet
+    updated) leaves resume pointing at the last COMPLETE checkpoint, and
+    only two generations are retained."""
+    import json
+    import os
+
+    from rl8_tpu.checkpoint import checkpoint_exists
+
+    algo = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    algo.collect()
+    algo.step()
+    d = tmp_path / "ckpt"
+    save_checkpoint(d, algo, trainer_state={"algorithm/steps": 1})
+    save_checkpoint(d, algo, trainer_state={"algorithm/steps": 2})
+    save_checkpoint(d, algo, trainer_state={"algorithm/steps": 3})
+
+    gens = sorted(e for e in os.listdir(d) if e.startswith("ckpt-"))
+    assert gens == ["ckpt-00000002", "ckpt-00000003"], gens
+
+    # Simulate a preemption mid-save: a partial generation dir exists
+    # but latest.json was never updated.
+    (d / "ckpt-00000004").mkdir()
+    (d / "ckpt-00000004" / "state").mkdir()
+    assert checkpoint_exists(d)
+    restored = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    trainer_state = restore_checkpoint(d, restored)
+    assert trainer_state == {"algorithm/steps": 3}
+
+    # The next save supersedes the debris with a fresh generation 4.
+    save_checkpoint(d, algo, trainer_state={"algorithm/steps": 4})
+    with open(d / "latest.json") as f:
+        assert json.load(f)["checkpoint"] == "ckpt-00000004"
+    trainer_state = restore_checkpoint(d, AlgorithmConfig(**CFG).build(DiscreteDummyEnv))
+    assert trainer_state == {"algorithm/steps": 4}
+
+
+def test_checkpoint_rejects_url_scheme_paths() -> None:
+    from rl8_tpu.checkpoint import save_checkpoint as save
+
+    algo = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    with pytest.raises(ValueError, match="URL scheme"):
+        save("gs://bucket/ckpt", algo)

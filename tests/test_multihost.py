@@ -75,8 +75,12 @@ def test_two_process_training(tmp_path):
     assert params["env_cls"] == "DiscreteDummyEnv"
 
     # The collective checkpoint produced both the orbax state tree and
-    # the single-writer host-state file.
-    assert (tmp_path / "ckpt" / "state").is_dir()
-    with open(tmp_path / "ckpt" / "host_state.json") as f:
+    # the single-writer host-state file (versioned layout: latest.json
+    # names the live generation).
+    with open(tmp_path / "ckpt" / "latest.json") as f:
+        latest = json.load(f)
+    gen = tmp_path / "ckpt" / latest["checkpoint"]
+    assert (gen / "state").is_dir()
+    with open(gen / "host_state.json") as f:
         host = json.load(f)
     assert host["trainer_state"]["algorithm/steps"] == 2
