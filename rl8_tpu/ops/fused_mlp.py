@@ -77,11 +77,23 @@ _SUBLANES = 8
 def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
     """[M, K] @ [K, N]."""
     k = a.shape[1]
+    n = b.shape[1]
     if k < _SUBLANES:  # sum of outer products on the VPU
         out = a[:, 0:1] * b[0:1, :]
         for i in range(1, k):
             out = out + a[:, i : i + 1] * b[i : i + 1, :]
         return out
+    if n < _SUBLANES:
+        # Narrow outputs (value/logit heads): XLA lowers these as f32
+        # VPU reductions rather than MXU matmuls, so do the same — N
+        # lane-reductions in f32 — to match the autodiff path exactly
+        # (a bf16 MXU product here was the one observable numeric gap
+        # between the fused and unfused paths on hardware).
+        cols = [
+            jnp.sum(a * jnp.transpose(b[:, i : i + 1]), axis=1, keepdims=True)
+            for i in range(n)
+        ]
+        return cols[0] if n == 1 else jnp.concatenate(cols, axis=1)
     return pl.dot(_bf(a), _bf(b)).astype(jnp.float32)
 
 
