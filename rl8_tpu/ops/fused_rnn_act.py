@@ -1,9 +1,9 @@
 """Fused recurrent rollout "act" kernel: LSTM cell + heads + sampling.
 
 Recurrent analog of ``ops/fused_act.py``: one kernel launch per collect
-step runs the single-layer ``OptimizedLSTMCell`` math, the policy/value
-heads, and TPU-hardware-PRNG action sampling, returning the new
-recurrent state alongside actions/log-probs/values. The reference runs
+step runs the stacked ``OptimizedLSTMCell`` math (up to 8 layers), the
+policy/value heads, and TPU-hardware-PRNG action sampling, returning
+the new recurrent states alongside actions/log-probs/values. The reference runs
 the same computation as ~50 per-step eager torch ops
 (``/root/reference/src/rl8/algorithms/_recurrent.py:394-417``).
 """
@@ -123,51 +123,26 @@ def fused_rnn_act(
 
     Args:
         obs: ``[B, d_in]`` observations for this step.
-        states: ``{hidden_states, cell_states}: [B, 1, H]`` pytree.
+        states: ``{hidden_states, cell_states}: [B, K, H]`` pytree
+            (``K`` = ``model.num_layers``).
 
     Returns:
         ``(actions, logp [B, 1], values [B, 1], new_states)``.
 
     """
-    from ..models import DefaultDiscreteRecurrentModel
+    from .fused_rnn_ppo import _concat_lstm_params, _head_layout, _head_params
 
     K = model.num_layers
-    lstm_params = []
-    for l in range(K):
-        cell = params["lstm"][f"lstm_{l}"]
-        lstm_params.append(
-            jnp.concatenate([cell[f"i{g}"]["kernel"] for g in _GATES], axis=1)
-        )
-        lstm_params.append(
-            jnp.concatenate([cell[f"h{g}"]["kernel"] for g in _GATES], axis=1)
-        )
-        lstm_params.append(
-            jnp.concatenate(
-                [cell[f"h{g}"]["bias"] for g in _GATES]
-            ).reshape(1, -1)
-        )
+    lstm_params = _concat_lstm_params(params, K)
     H = lstm_params[1].shape[0]
     bsz0 = states[DataKeys.HIDDEN_STATES].shape[0]
     h0 = states[DataKeys.HIDDEN_STATES].reshape(bsz0, K * H)
     c0 = states[DataKeys.CELL_STATES].reshape(bsz0, K * H)
 
-    discrete = type(model) is DefaultDiscreteRecurrentModel
-    if discrete:
-        head_names = ("feature_head", "vf_head")
-        action_meta = (model.action_spec.shape[0], model.action_spec.n)
-        kind = "discrete"
-        action_dim = action_meta[0]
-        action_dtype = jnp.int32
-    else:
-        head_names = ("action_mean", "action_log_std", "vf_model")
-        action_meta = (model.action_spec.shape[0],)
-        kind = "continuous"
-        action_dim = action_meta[0]
-        action_dtype = jnp.float32
-    heads = []
-    for name in head_names:
-        heads.append(params[name]["kernel"])
-        heads.append(params[name]["bias"].reshape(1, -1))
+    head_names, action_meta, kind = _head_layout(model)
+    action_dim = action_meta[0]
+    action_dtype = jnp.int32 if kind == "discrete" else jnp.float32
+    heads = _head_params(params, head_names)
 
     bsz = obs.shape[0]
     tile = min(2048, -(-bsz // 8) * 8)

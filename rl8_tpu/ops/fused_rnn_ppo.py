@@ -4,11 +4,12 @@ The recurrent update is the slowest path in the framework under XLA:
 truncated-BPTT autodiff over ``[N, seq_len]`` sequence minibatches
 materializes per-timestep LSTM activations in HBM and runs ~6% MXU
 utilization. This kernel computes — per minibatch tile, entirely in
-VMEM — the single-layer LSTM forward over the sequence (exactly flax's
-``OptimizedLSTMCell`` math: sigmoid i/f/o gates, tanh g, ``c' = f c +
-i g``, ``h' = o tanh(c')``), the per-step policy/value heads, the PPO
-losses for every (sequence, step) sample, and the hand-derived BPTT
-backward, writing only the parameter gradients and loss-stat sums.
+VMEM — the stacked-LSTM forward over the sequence (exactly flax's
+``OptimizedLSTMCell`` math per layer: sigmoid i/f/o gates, tanh g,
+``c' = f c + i g``, ``h' = o tanh(c')``), the per-step policy/value
+heads, the PPO losses for every (sequence, step) sample, and the
+hand-derived BPTT backward — including the inter-layer ``dx`` chain —
+writing only the parameter gradients and loss-stat sums.
 
 Counterpart semantics: ``/root/reference/src/rl8/algorithms/
 _recurrent.py:481-652`` (sequence minibatches whose stored initial
@@ -41,11 +42,66 @@ __all__ = ["fused_rnn_ppo_grads", "supports_fused_rnn_update"]
 _GATES = ("i", "f", "g", "o")
 
 
+def _concat_lstm_params(params: Any, num_layers: int) -> list:
+    """Per-layer ``(Wi, Wh, bias)`` with the four gates concatenated in
+    flax's i,f,g,o order — the parameter layout BOTH recurrent kernels
+    index. Shared so the act kernel's log-probs stay bit-compatible with
+    the update kernel's (the PPO ratio divides one by the other)."""
+    out = []
+    for l in range(num_layers):
+        cell = params["lstm"][f"lstm_{l}"]
+        out.append(
+            jnp.concatenate([cell[f"i{g}"]["kernel"] for g in _GATES], axis=1)
+        )
+        out.append(
+            jnp.concatenate([cell[f"h{g}"]["kernel"] for g in _GATES], axis=1)
+        )
+        out.append(
+            jnp.concatenate(
+                [cell[f"h{g}"]["bias"] for g in _GATES]
+            ).reshape(1, -1)
+        )
+    return out
+
+
+def _head_layout(model: Any) -> tuple[tuple[str, ...], tuple[int, ...], str]:
+    """``(head param names, action metadata, kind)`` for a supported
+    default recurrent model — the other half of the shared layout
+    contract (see :func:`_concat_lstm_params`)."""
+    from ..models import DefaultDiscreteRecurrentModel
+
+    if type(model) is DefaultDiscreteRecurrentModel:
+        return (
+            ("feature_head", "vf_head"),
+            (model.action_spec.shape[0], model.action_spec.n),
+            "discrete",
+        )
+    return (
+        ("action_mean", "action_log_std", "vf_model"),
+        (model.action_spec.shape[0],),
+        "continuous",
+    )
+
+
+def _head_params(params: Any, head_names: tuple[str, ...]) -> list:
+    heads = []
+    for name in head_names:
+        heads.append(params[name]["kernel"])
+        heads.append(params[name]["bias"].reshape(1, -1))
+    return heads
+
+
 def supports_fused_rnn_update(
     model: Any, distribution_cls: Any, *, zero_entropy: bool = False
 ) -> bool:
     """Whether the fused recurrent update kernel can evaluate this
-    model/distribution pair."""
+    model/distribution pair.
+
+    Like :func:`rl8_tpu.ops.fused_mlp.supports_fused_apply`, models with
+    an explicit compute ``dtype`` (set by ``enable_amp``) are excluded:
+    the kernels run their own fixed precision scheme, which would
+    silently bypass the requested AMP dtype.
+    """
     from ..distributions import Categorical, Normal, SquashedNormal
     from ..models import (
         DefaultContinuousRecurrentModel,
@@ -59,6 +115,8 @@ def supports_fused_rnn_update(
             distribution_cls is SquashedNormal and zero_entropy
         )
     else:
+        return False
+    if model.dtype is not None:
         return False
     return ok and 1 <= model.num_layers <= 8 and bool(model.bias)
 
@@ -384,36 +442,12 @@ def fused_rnn_ppo_grads(
     )
 
     K = model.num_layers
-    lstm_params = []
-    for l in range(K):
-        cell = params["lstm"][f"lstm_{l}"]
-        lstm_params.append(
-            jnp.concatenate([cell[f"i{g}"]["kernel"] for g in _GATES], axis=1)
-        )
-        lstm_params.append(
-            jnp.concatenate([cell[f"h{g}"]["kernel"] for g in _GATES], axis=1)
-        )
-        lstm_params.append(
-            jnp.concatenate(
-                [cell[f"h{g}"]["bias"] for g in _GATES]
-            ).reshape(1, -1)
-        )
+    lstm_params = _concat_lstm_params(params, K)
     d_in = lstm_params[0].shape[0]
     H = lstm_params[1].shape[0]
 
-    discrete = type(model) is DefaultDiscreteRecurrentModel
-    if discrete:
-        head_names = ("feature_head", "vf_head")
-        action_meta = (model.action_spec.shape[0], model.action_spec.n)
-        kind = "discrete"
-    else:
-        head_names = ("action_mean", "action_log_std", "vf_model")
-        action_meta = (model.action_spec.shape[0],)
-        kind = "continuous"
-    heads = []
-    for name in head_names:
-        heads.append(params[name]["kernel"])
-        heads.append(params[name]["bias"].reshape(1, -1))
+    head_names, action_meta, kind = _head_layout(model)
+    heads = _head_params(params, head_names)
     head_wts = [params[name]["kernel"].T for name in head_names]
 
     rows = packed_mb.shape[0]

@@ -575,3 +575,28 @@ def test_fused_rnn_act_deterministic_matches_flax() -> None:
         np.testing.assert_allclose(
             np.asarray(new_states[k]), np.asarray(new_ref[k]), rtol=2e-2, atol=3e-2
         )
+
+
+def test_fused_gates_reject_amp_models() -> None:
+    """Models with an explicit compute dtype (enable_amp) must be
+    rejected by BOTH fused-kernel gates, forcing the autodiff path that
+    honors the requested dtype."""
+    import jax.numpy as jnp
+
+    from rl8_tpu.distributions import Categorical
+    from rl8_tpu.models import DefaultDiscreteModel, DefaultDiscreteRecurrentModel
+    from rl8_tpu.ops.fused_mlp import supports_fused_apply
+    from rl8_tpu.ops.fused_rnn_ppo import supports_fused_rnn_update
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    obs, act = Unbounded(1), Discrete(2, shape=(1,))
+    assert supports_fused_apply(DefaultDiscreteModel(obs, act))
+    assert not supports_fused_apply(
+        DefaultDiscreteModel(obs, act, dtype=jnp.bfloat16)
+    )
+    assert supports_fused_rnn_update(
+        DefaultDiscreteRecurrentModel(obs, act), Categorical
+    )
+    assert not supports_fused_rnn_update(
+        DefaultDiscreteRecurrentModel(obs, act, dtype=jnp.bfloat16), Categorical
+    )
