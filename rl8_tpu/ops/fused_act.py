@@ -55,7 +55,6 @@ def _discrete_act_kernel(
     pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
 
     x = x_ref[:]
-    tile = x.shape[0]
     _, all_outs = _forward_block(x, params, sizes, activation)
     logits = all_outs[0][0]
     values_ref[:] = all_outs[1][0]
@@ -126,22 +125,11 @@ def fused_act(
     """
     from ..models import DefaultContinuousModel, DefaultDiscreteModel
 
+    from .fused_mlp import _default_chains
+
     obs = batch[DataKeys.OBS]
     discrete = type(model) is DefaultDiscreteModel
-    if discrete:
-        chains = (
-            (_mlp_layers(params, "feature_model"), (_head(params, "feature_head"),)),
-            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
-        )
-    else:
-        assert type(model) is DefaultContinuousModel
-        chains = (
-            (
-                _mlp_layers(params, "latent_model"),
-                (_head(params, "action_mean"), _head(params, "action_log_std")),
-            ),
-            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
-        )
+    chains = _default_chains(model, params)
     flat = _flatten_params(chains)
     action_dim = model.action_spec.shape[0]
     if discrete:

@@ -45,7 +45,6 @@ _ACT_GRAD_FROM_OUT = {
     "tanh": lambda h: 1.0 - jnp.square(h.astype(jnp.float32)),
 }
 
-_LANES = 128
 
 
 def _row_tile(n: int) -> int:
@@ -432,6 +431,42 @@ def _head(params: Any, name: str) -> tuple[jax.Array, jax.Array]:
     return (params[name]["kernel"], params[name]["bias"])
 
 
+#: Per-model (torso name, head names) layout — the ONE definition of
+#: which flax submodules the fused kernels read. The update, act, and
+#: apply entry points must agree bit-for-bit (the PPO ratio divides the
+#: act kernel's logp by the update kernel's), so all three build their
+#: chains through :func:`_default_chain_names`/:func:`_default_chains`.
+_DISCRETE_CHAIN_NAMES = (
+    ("feature_model", ("feature_head",)),
+    ("vf_model", ("vf_head",)),
+)
+_CONTINUOUS_CHAIN_NAMES = (
+    ("latent_model", ("action_mean", "action_log_std")),
+    ("vf_model", ("vf_head",)),
+)
+
+
+def _default_chain_names(model: Any) -> tuple[tuple[str, tuple[str, ...]], ...]:
+    from ..models import DefaultContinuousModel, DefaultDiscreteModel
+
+    if type(model) is DefaultDiscreteModel:
+        return _DISCRETE_CHAIN_NAMES
+    if type(model) is DefaultContinuousModel:
+        return _CONTINUOUS_CHAIN_NAMES
+    raise TypeError(f"{type(model)} has no fused support.")
+
+
+def _default_chains(model: Any, params: Any) -> tuple:
+    """Build the (layers, heads) chains pytree for a default model."""
+    return tuple(
+        (
+            _mlp_layers(params, torso),
+            tuple(_head(params, h) for h in heads),
+        )
+        for torso, heads in _default_chain_names(model)
+    )
+
+
 def supports_fused_apply(model: Any) -> bool:
     """Whether ``model`` is an exact default model the fused kernels can
     evaluate (relu/tanh activation, biased dense layers, f32/bf16).
@@ -447,6 +482,12 @@ def supports_fused_apply(model: Any) -> bool:
     if type(model) not in (DefaultContinuousModel, DefaultDiscreteModel):
         return False
     if model.dtype is not None:
+        return False
+    # The fused update path packs observation columns and bitcasts them
+    # back as f32 (``ops/packing.py``), which is only meaningful for
+    # float observations (f16/bf16 are widened to f32 by pack_rows;
+    # int/bool bit patterns would reinterpret as denormal garbage).
+    if not jnp.issubdtype(jnp.dtype(model.observation_spec.dtype), jnp.floating):
         return False
     return bool(model.bias) and model.activation_fn in _ACT_FNS
 
@@ -464,23 +505,12 @@ def fused_default_apply(
 
     obs = batch[DataKeys.OBS]
     act = model.activation_fn
+    chains = _default_chains(model, params)
     if type(model) is DefaultDiscreteModel:
-        chains = (
-            (_mlp_layers(params, "feature_model"), (_head(params, "feature_head"),)),
-            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
-        )
         (logits,), (values,) = fused_chains(act, interpret, obs, chains)
         action_dim = model.action_spec.shape[0]
         n = model.action_spec.n
         return {"logits": logits.reshape(-1, action_dim, n)}, values
-    if type(model) is DefaultContinuousModel:
-        chains = (
-            (
-                _mlp_layers(params, "latent_model"),
-                (_head(params, "action_mean"), _head(params, "action_log_std")),
-            ),
-            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
-        )
-        (mean, log_std), (values,) = fused_chains(act, interpret, obs, chains)
-        return {"mean": mean, "log_std": jnp.tanh(log_std)}, values
-    raise TypeError(f"{type(model)} has no fused apply support.")
+    assert type(model) is DefaultContinuousModel
+    (mean, log_std), (values,) = fused_chains(act, interpret, obs, chains)
+    return {"mean": mean, "log_std": jnp.tanh(log_std)}, values

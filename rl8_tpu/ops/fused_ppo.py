@@ -227,13 +227,14 @@ def _discrete_kernel(
         [[dlogits], [dv]], dparam_refs, acc, need_dx=False,
     )
 
-    ent_total = (
-        jnp.sum(ent_sum_rows)
-        if cfg.use_entropy and ent_sum_rows is not None
-        else jnp.zeros((), jnp.float32)
-    )
-    if cfg.use_entropy and valid is not None and ent_sum_rows is not None:
-        ent_total = jnp.sum(jnp.where(valid, ent_sum_rows, 0.0))
+    if cfg.use_entropy and ent_sum_rows is not None:
+        ent_total = jnp.sum(
+            jnp.where(valid, ent_sum_rows, 0.0)
+            if valid is not None
+            else ent_sum_rows
+        )
+    else:
+        ent_total = jnp.zeros((), jnp.float32)
     zero = jnp.zeros((1, 1), jnp.float32)
     stats = jnp.concatenate(
         [
@@ -252,7 +253,7 @@ def _discrete_kernel(
 
 
 def _continuous_kernel(
-    sizes, activation, n_params, cfg: PPOLossConfig, cols, action_dim,
+    sizes, activation, n_params, cfg: PPOLossConfig, cols,
     packed_ref, ec_ref, *refs,
 ):
     """Fused PPO grad for DefaultContinuousModel + Normal.
@@ -406,6 +407,11 @@ def fused_ppo_grads(
             "SquashedNormal has no defined entropy; the fused update"
             " requires a statically-zero entropy coefficient."
         )
+    assert packed_mb.shape[0] == cfg.n_rows, (
+        "packed minibatch rows must equal cfg.n_rows — the kernel's"
+        " padding mask is keyed on n_rows, so extra pre-padded rows"
+        " would be summed into gradients unmasked"
+    )
     idx = _leaf_index_tree(unpacker)
     metas = unpacker.metas
 
@@ -420,26 +426,11 @@ def fused_ppo_grads(
     ret_sl = _cols(idx[DataKeys.RETURNS])[0]
     cols = (obs_sl, act_sl, logp_sl, adv_sl, ret_sl)
 
+    from .fused_mlp import _default_chain_names, _default_chains
+
     discrete = type(model) is DefaultDiscreteModel
-    if discrete:
-        chains = (
-            (_mlp_layers(params, "feature_model"), (_head(params, "feature_head"),)),
-            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
-        )
-        names = (("feature_model", ("feature_head",)), ("vf_model", ("vf_head",)))
-    else:
-        assert type(model) is DefaultContinuousModel
-        chains = (
-            (
-                _mlp_layers(params, "latent_model"),
-                (_head(params, "action_mean"), _head(params, "action_log_std")),
-            ),
-            (_mlp_layers(params, "vf_model"), (_head(params, "vf_head"),)),
-        )
-        names = (
-            ("latent_model", ("action_mean", "action_log_std")),
-            ("vf_model", ("vf_head",)),
-        )
+    chains = _default_chains(model, params)
+    names = _default_chain_names(model)
 
     flat = _flatten_params(chains)
     flat_head_wts = [w.T for _, heads in chains for w, _ in heads]
@@ -451,7 +442,7 @@ def fused_ppo_grads(
     else:
         kernel = functools.partial(
             _continuous_kernel, _chain_sizes(chains), model.activation_fn,
-            len(flat), cfg, cols, model.action_spec.shape[0],
+            len(flat), cfg, cols,
         )
 
     rows = packed_mb.shape[0]

@@ -424,6 +424,11 @@ def fused_rnn_ppo_grads(
             "SquashedNormal has no defined entropy; the fused update"
             " requires a statically-zero entropy coefficient."
         )
+    assert packed_mb.shape[0] == cfg.n_rows, (
+        "packed minibatch rows must equal cfg.n_rows — the kernel's"
+        " padding mask is keyed on n_rows, so extra pre-padded rows"
+        " would be summed into gradients unmasked"
+    )
     idx = _leaf_index_tree(unpacker)
     metas = unpacker.metas
 

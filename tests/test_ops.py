@@ -600,3 +600,48 @@ def test_fused_gates_reject_amp_models() -> None:
     assert not supports_fused_rnn_update(
         DefaultDiscreteRecurrentModel(obs, act, dtype=jnp.bfloat16), Categorical
     )
+
+
+def test_fused_act_stochastic_paths_trace() -> None:
+    """Tracing (jax.eval_shape) the STOCHASTIC sampling branches of both
+    act kernels catches structural kernel bugs on CPU. The hardware-PRNG
+    body can't execute faithfully off-TPU (distribution checks live in
+    `-m tpu`), but pallas traces the kernel to a jaxpr regardless, which
+    is where undefined locals / bad ref indexing surface."""
+    import jax
+    import jax.numpy as jnp
+
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.ops.fused_act import fused_act
+    from rl8_tpu.ops.fused_rnn_act import fused_rnn_act
+    from rl8_tpu.policies import Policy, RecurrentPolicy
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    key = jax.random.key(0)
+    for action_spec, squashed in (
+        (Discrete(3, shape=(1,)), False),
+        (Unbounded(2), False),
+        (Unbounded(2), True),
+    ):
+        policy = Policy(Unbounded(4), action_spec)
+        params = policy.init_params(key)
+        batch = {DataKeys.OBS: jnp.zeros((16, 4))}
+        jax.eval_shape(
+            lambda p, b: fused_act(
+                policy.model, p, b, key, deterministic=False, squashed=squashed
+            ),
+            params,
+            batch,
+        )
+
+    rec = RecurrentPolicy(Unbounded(4), Discrete(3, shape=(1,)))
+    params = rec.init_params(key)
+    states = rec.init_states(16)
+    jax.eval_shape(
+        lambda p, o, s: fused_rnn_act(
+            rec.model, p, o, s, key, deterministic=False
+        ),
+        params,
+        jnp.zeros((16, 4)),
+        states,
+    )
