@@ -204,7 +204,3 @@ class DiscreteDummyEnv(DummyEnv):
         new_state = {"position": pos, "bounds": state["bounds"]}
         return new_state, pos, -jnp.abs(pos)
 
-
-def env_out(obs: Any, rewards: jax.Array) -> dict[str, Any]:
-    """Convenience for bundling a step's outputs under standard keys."""
-    return {DataKeys.OBS: obs, DataKeys.REWARDS: rewards}

@@ -160,9 +160,8 @@ def masked_categorical_sample(
     if mask is not None:
         mask = _broadcast_mask(mask, x)
         x = x + jnp.clip(jnp.log(mask.astype(x.dtype)), _FMIN, _FMAX)
-    samples = jax.random.categorical(key, x, axis=dim)[..., None]
-    # Move the sampled index to `dim` for take_along_axis.
-    samples = jnp.expand_dims(jnp.squeeze(samples, -1), axis=dim)
+    # Place the sampled index back at `dim` for take_along_axis.
+    samples = jnp.expand_dims(jax.random.categorical(key, x, axis=dim), axis=dim)
     return jnp.take_along_axis(x, samples, axis=dim), samples
 
 

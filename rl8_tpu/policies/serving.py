@@ -85,13 +85,21 @@ class PolicyModel:
 
     def predict(
         self,
-        model_input: dict[str, Any],
         context: Any = None,
+        model_input: None | dict[str, Any] = None,
         params: None | dict[str, Any] = None,
     ) -> Any:
         """Deterministically sample the policy for a ``[B, T, ...]`` obs
         batch, returning a ``B * T``-row DataFrame of actions, log
-        probabilities, and value estimates."""
+        probabilities, and value estimates.
+
+        Callable both ways: MLflow's pyfunc wrapper passes
+        ``(context, model_input, params)`` positionally (the reference
+        signature, ``policies/_feedforward.py:255``); standalone callers
+        may pass just the model input as the single argument.
+        """
+        if model_input is None:
+            context, model_input = None, context
         obs = model_input[DataKeys.OBS]
         B, T = get_batch_size_from_model_input(obs)
         batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}
@@ -140,12 +148,18 @@ class RecurrentPolicyModel:
 
     def predict(
         self,
-        model_input: dict[str, Any],
         context: Any = None,
+        model_input: None | dict[str, Any] = None,
         params: None | dict[str, Any] = None,
     ) -> tuple[Any, Any]:
         """Deterministically sample for a ``[B, T, ...]`` obs batch (and
-        optional ``"states"``), returning ``(outputs_df, states_df)``."""
+        optional ``"states"``), returning ``(outputs_df, states_df)``.
+
+        Accepts MLflow's positional ``(context, model_input, params)``
+        order or a standalone single-argument model input.
+        """
+        if model_input is None:
+            context, model_input = None, context
         obs = model_input[DataKeys.OBS]
         B, T = get_batch_size_from_model_input(obs)
         batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}
@@ -167,8 +181,7 @@ class RecurrentPolicyModel:
             DataKeys.LOGP: out[DataKeys.LOGP],
             DataKeys.VALUES: out[DataKeys.VALUES],
         }
-        states_flat = {k: v for k, v in new_states.items()}
-        return _to_dataframe(selected, B * T), _to_dataframe(states_flat, B)
+        return _to_dataframe(selected, B * T), _to_dataframe(new_states, B)
 
 
 #: Aliases under the reference's class names

@@ -134,6 +134,13 @@ class Discrete(TensorSpec):
         )
 
     def _contains_values(self, x: np.ndarray) -> bool:
+        # Discrete membership requires integral values: a fractional
+        # "action" passing a bounds-only check would silently truncate
+        # in `encode`.
+        if not (
+            np.issubdtype(x.dtype, np.integer) or x.dtype == np.bool_
+        ):
+            return False
         return bool(np.all(x >= 0) and np.all(x < self.n))
 
 

@@ -46,7 +46,7 @@ def debug_nans(enable: bool = True, /) -> Generator[None, None, None]:
     Compiled programs re-trace with NaN checks; expect a slowdown. Use
     when a run diverges to find the first NaN-producing op.
     """
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield

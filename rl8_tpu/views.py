@@ -72,6 +72,13 @@ def rolling_window(x: jax.Array, size: int, /, *, step: int = 1) -> jax.Array:
     static gather so it compiles to a fixed-shape ``jnp.take``.
     """
     T = x.shape[1]
+    if T < size:
+        raise ValueError(
+            f"Cannot build rolling windows of size {size} over a time"
+            f" dimension of length {T} (the reference's `Tensor.unfold`"
+            " raises here too). Use `padded_rolling_window`, or collect"
+            " a longer horizon."
+        )
     num_windows = (T - size) // step + 1
     starts = jnp.arange(num_windows) * step
     idx = starts[:, None] + jnp.arange(size)[None, :]  # [W, size]
