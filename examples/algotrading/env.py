@@ -120,18 +120,21 @@ class AlgoTrading(Env):
         hold = a == Action.HOLD
 
         invested = jnp.where(buy, 1, jnp.where(sell, 0, state["invested"]))
-        position = jnp.where(buy, old_price, state["position"])
-        # Uninvested holders track the current price as their position
-        # (``env.py:152-155``).
-        invested_mask = state["invested"] == 1
-        position = jnp.where(~invested_mask, old_price, position)
-        position = jnp.where(buy, old_price, position)
+        # The reference recomputes its invested mask AFTER the buy/sell
+        # updates (``env.py:148-151``), so anyone not invested
+        # post-transition — including this step's sellers — tracks the
+        # current price as their position; buyers lock in this price.
+        position = jnp.where((invested == 0) | buy, old_price, state["position"])
 
         reward = jnp.zeros_like(old_price)
         reward = jnp.where(
             sell, jnp.log(old_price) - jnp.log(state["position"]), reward
         )
-        reward = jnp.where(invested_mask & hold, state["log_change_price"], reward)
+        # Hold reward applies to envs invested across the step (holders'
+        # invested flag is unchanged by the transition).
+        reward = jnp.where(
+            (invested == 1) & hold, state["log_change_price"], reward
+        )
 
         new_invested_mask = invested == 1
         action_mask = jnp.concatenate(

@@ -14,9 +14,9 @@ import jax.numpy as jnp
 
 from rl8_tpu.data import DataKeys
 from rl8_tpu.models import GenericRecurrentModel, small_uniform_init
-from rl8_tpu.models._recurrent import _StackedLSTM
+from rl8_tpu.models._recurrent import _StackedLSTM, _lstm_state_spec
 from rl8_tpu.nn import MLP, get_activation
-from rl8_tpu.specs import Composite, Unbounded
+from rl8_tpu.specs import Composite
 
 _FMIN = float(jnp.finfo(jnp.float32).min)
 
@@ -45,12 +45,7 @@ class LazyLemur(GenericRecurrentModel):
 
     @property
     def state_spec(self) -> Composite:
-        return Composite(
-            {
-                DataKeys.HIDDEN_STATES: Unbounded((self.num_layers, self.hidden_size)),
-                DataKeys.CELL_STATES: Unbounded((self.num_layers, self.hidden_size)),
-            }
-        )
+        return _lstm_state_spec(self.num_layers, self.hidden_size)
 
     @nn.compact
     def __call__(

@@ -10,8 +10,6 @@ directly — the functional idiom required for jit/grad.
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 
 from ..specs import Spec
@@ -31,8 +29,3 @@ class GenericModelBase(nn.Module):
 
     observation_spec: Spec
     action_spec: Spec
-
-    def to_dtype(self, x: Any) -> Any:
-        """Hook for mixed-precision casts; default models cast inputs to
-        their configured compute dtype."""
-        return x

@@ -145,6 +145,13 @@ class DefaultContinuousRecurrentModel(GenericRecurrentModel):
     def __call__(
         self, batch: Any, states: Any
     ) -> tuple[tuple[dict[str, jax.Array], jax.Array], Any]:
+        if not self.bias:
+            raise NotImplementedError(
+                "`bias=False` is not supported for the default recurrent"
+                " models: flax's LSTM cells have no bias toggle, so the"
+                " flag would be silently ignored rather than matching"
+                " the reference's `nn.LSTM(bias=False)` architecture."
+            )
         obs = batch[DataKeys.OBS]
         if self.dtype is not None:
             obs = obs.astype(self.dtype)
@@ -199,6 +206,13 @@ class DefaultDiscreteRecurrentModel(GenericRecurrentModel):
     def __call__(
         self, batch: Any, states: Any
     ) -> tuple[tuple[dict[str, jax.Array], jax.Array], Any]:
+        if not self.bias:
+            raise NotImplementedError(
+                "`bias=False` is not supported for the default recurrent"
+                " models: flax's LSTM cells have no bias toggle, so the"
+                " flag would be silently ignored rather than matching"
+                " the reference's `nn.LSTM(bias=False)` architecture."
+            )
         obs = batch[DataKeys.OBS]
         if self.dtype is not None:
             obs = obs.astype(self.dtype)

@@ -8,6 +8,8 @@ learned output query (PerceiverIO).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -43,6 +45,8 @@ class PerceiverLayer(nn.Module):
     hidden_dropout: float = 0.0
     skip_kind: str = "cat"
     share_parameters: bool = False
+    #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU AMP.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -63,6 +67,7 @@ class PerceiverLayer(nn.Module):
             attention_dropout=self.attention_dropout,
             hidden_dropout=self.hidden_dropout,
             skip_kind=self.skip_kind,
+            dtype=self.dtype,
             name="cross_attention",
         )(q, kv, key_padding_mask, attention_mask, deterministic=deterministic)
         return SelfAttentionStack(
@@ -75,6 +80,7 @@ class PerceiverLayer(nn.Module):
             hidden_dropout=self.hidden_dropout,
             skip_kind=self.skip_kind,
             share_parameters=self.share_parameters,
+            dtype=self.dtype,
             name="self_attention",
         )(latent, deterministic=deterministic)
 
@@ -101,6 +107,8 @@ class PerceiverIOLayer(nn.Module):
     hidden_dropout: float = 0.0
     skip_kind: str = "cat"
     share_parameters: bool = False
+    #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU AMP.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -123,6 +131,7 @@ class PerceiverIOLayer(nn.Module):
             hidden_dropout=self.hidden_dropout,
             skip_kind=self.skip_kind,
             share_parameters=self.share_parameters,
+            dtype=self.dtype,
             name="perceiver_layer",
         )(q, kv, key_padding_mask, attention_mask, deterministic=deterministic)
         output_query = self.param(
@@ -142,5 +151,6 @@ class PerceiverIOLayer(nn.Module):
             attention_dropout=self.attention_dropout,
             hidden_dropout=self.hidden_dropout,
             skip_kind=self.skip_kind,
+            dtype=self.dtype,
             name="decoder",
         )(output_query, latent, deterministic=deterministic)

@@ -173,7 +173,11 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 to overwrite instead.
 
         Returns:
-            The most recent train stats when training stops.
+            The most recent train stats when training stops. When a
+            resumed run's restored counters already satisfy a stop
+            condition, the returned mapping holds only the counter keys
+            (``algorithm/collects``, ``algorithm/steps``, ``env/steps``)
+            — no training step ran, so no loss/return stats exist.
 
         Raises:
             ValueError: If an eval env config is provided for an env that
@@ -206,6 +210,17 @@ class GenericTrainerBase(Generic[_Algorithm]):
             raise ValueError(
                 "`fused_steps` must be a factor of `steps_per_eval` so"
                 " evaluations land between fused batches."
+            )
+        if (
+            fused_steps
+            and steps_per_checkpoint
+            and steps_per_checkpoint % fused_steps
+        ):
+            raise ValueError(
+                "`fused_steps` must be a factor of `steps_per_checkpoint`:"
+                " the step counter only lands on multiples of"
+                " `fused_steps`, so any other cadence silently degrades"
+                " to their least common multiple."
             )
         if steps_per_checkpoint and not checkpoint_dir:
             raise ValueError(

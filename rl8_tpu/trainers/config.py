@@ -117,6 +117,11 @@ class TrainConfig:
                 case _:
                     raise ValueError("Config must be a JSON or YAML file")
 
+        if not isinstance(data, dict):
+            raise RuntimeError(
+                f"{cls.__name__} config {path} must contain a mapping"
+                f" (got {type(data).__name__})."
+            )
         if "env_cls" in data:
             data["env_cls"] = _import(data["env_cls"])
         else:

@@ -141,3 +141,24 @@ def test_cartpole_kinematics_integrator() -> None:
     cfg = CartPoleConfig(pole_mass=0.2, length=1.0, cart_mass=2.0)
     assert cfg.pole_mass_length == 0.2
     assert cfg.total_mass == 2.2
+
+
+def test_algotrading_sell_resets_position_to_current_price() -> None:
+    """After a SELL the position tracks the current price (the reference
+    recomputes its invested mask post-transition), so the next
+    LOG_CHANGE(price, position) is relative to the sell price, not the
+    stale buy-in price."""
+    import jax
+    import jax.numpy as jnp
+
+    from examples.algotrading.env import Action, AlgoTrading
+
+    env = AlgoTrading(4)
+    state, _ = env.reset(jax.random.key(0))
+    buy = jnp.full((4, 1), Action.BUY, dtype=jnp.int32)
+    sell = jnp.full((4, 1), Action.SELL, dtype=jnp.int32)
+    state, _, _ = env.step(state, buy)
+    price_before_sell = state["price"]
+    state, _, _ = env.step(state, sell)
+    assert jnp.allclose(state["position"], price_before_sell)
+    assert (state["invested"] == 0).all()

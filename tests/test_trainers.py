@@ -112,3 +112,21 @@ def test_trainer_fused_eval_cadence() -> None:
     trainer = _ff_trainer()
     with pytest.raises(ValueError):
         trainer.run(fused_steps=3, steps_per_eval=4)
+
+
+def test_fused_steps_checkpoint_cadence_validated(tmp_path) -> None:
+    """A steps_per_checkpoint that isn't a multiple of fused_steps is
+    rejected (the step counter only lands on fused_steps multiples, so
+    any other cadence silently degrades to their lcm)."""
+    from rl8_tpu import AlgorithmConfig, Trainer
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    algo = AlgorithmConfig(
+        num_envs=8, horizon=4, model_config={"hiddens": (8,)}
+    ).build(DiscreteDummyEnv)
+    with pytest.raises(ValueError, match="steps_per_checkpoint"):
+        Trainer(algo).run(
+            fused_steps=8,
+            steps_per_checkpoint=10,
+            checkpoint_dir=tmp_path,
+        )
