@@ -237,7 +237,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
 
         sgd_minibatch_size = (
             config.sgd_minibatch_size
-            if config.sgd_minibatch_size
+            if config.sgd_minibatch_size is not None
             else num_envs * horizon
         )
         self.hparams = AlgorithmHparams(
@@ -262,7 +262,14 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         ).validate()
 
         optimizer_config = dict(config.optimizer_config or {"lr": 1e-3})
-        lr0 = optimizer_config.pop("lr", optimizer_config.pop("learning_rate", 1e-3))
+        if "lr" in optimizer_config and "learning_rate" in optimizer_config:
+            raise ValueError(
+                "Pass only one of `lr`/`learning_rate` in"
+                " `optimizer_config`; both were provided."
+            )
+        lr0 = optimizer_config.pop("lr", None)
+        if lr0 is None:
+            lr0 = optimizer_config.pop("learning_rate", 1e-3)
         self.lr_scheduler = LRScheduler(
             lr0, schedule=config.lr_schedule, kind=config.lr_schedule_kind
         )
@@ -513,36 +520,35 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 if vr.shift == 0:
                     view = jax.tree_util.tree_map(lambda t: t[:, -1], item)
                 else:
+                    # __init__ rejects models with sample-dropping view
+                    # requirements, so every windowed view here is the
+                    # padded kind.
+                    assert vr.drop_size == 0
                     tail = jax.tree_util.tree_map(lambda t: t[:, -size:], item)
-                    if vr.drop_size == 0:  # padded_rolling_window
-                        mask = jnp.broadcast_to(~valid[-size:], (B, size))
-                        view = jax.tree_util.tree_map(
-                            lambda t: {
-                                DataKeys.INPUTS: t,
-                                DataKeys.PADDING_MASK: mask,
-                            },
-                            tail,
-                        )
-                    else:  # rolling_window: fixed window, zero-filled at starts
-                        view = tail
+                    mask = jnp.broadcast_to(~valid[-size:], (B, size))
+                    view = jax.tree_util.tree_map(
+                        lambda t: {
+                            DataKeys.INPUTS: t,
+                            DataKeys.PADDING_MASK: mask,
+                        },
+                        tail,
+                    )
             else:
                 zero_slot = self._zero_view_slot(key)
                 if vr.shift == 0:
                     view = zero_slot
                 else:
+                    assert vr.drop_size == 0
                     w = nonobs[key]
                     tail = jnp.concatenate(
                         [w[:, w.shape[1] - vr.shift :], zero_slot[:, None]],
                         axis=1,
                     )
-                    if vr.drop_size == 0:
-                        mask = jnp.broadcast_to(~valid[-size:], (B, size))
-                        view = {
-                            DataKeys.INPUTS: tail,
-                            DataKeys.PADDING_MASK: mask,
-                        }
-                    else:
-                        view = tail
+                    mask = jnp.broadcast_to(~valid[-size:], (B, size))
+                    view = {
+                        DataKeys.INPUTS: tail,
+                        DataKeys.PADDING_MASK: mask,
+                    }
             _set_nested(out, key, view)
         return out
 

@@ -158,7 +158,7 @@ class RecurrentAlgorithm(
 
         sgd_minibatch_size = (
             config.sgd_minibatch_size
-            if config.sgd_minibatch_size
+            if config.sgd_minibatch_size is not None
             else num_envs * (horizon // config.seq_len)
         )
         self.hparams = RecurrentAlgorithmHparams(
@@ -185,7 +185,14 @@ class RecurrentAlgorithm(
         ).validate()
 
         optimizer_config = dict(config.optimizer_config or {"lr": 1e-3})
-        lr0 = optimizer_config.pop("lr", optimizer_config.pop("learning_rate", 1e-3))
+        if "lr" in optimizer_config and "learning_rate" in optimizer_config:
+            raise ValueError(
+                "Pass only one of `lr`/`learning_rate` in"
+                " `optimizer_config`; both were provided."
+            )
+        lr0 = optimizer_config.pop("lr", None)
+        if lr0 is None:
+            lr0 = optimizer_config.pop("learning_rate", 1e-3)
         self.lr_scheduler = LRScheduler(
             lr0, schedule=config.lr_schedule, kind=config.lr_schedule_kind
         )

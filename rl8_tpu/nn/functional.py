@@ -101,7 +101,9 @@ def generalized_advantage_estimate(
 
     if normalize_advantages:
         mean = jnp.mean(advantages)
-        std = jnp.std(advantages)
+        # ddof=1 matches the reference's unbiased torch.std_mean
+        # (``nn/functional.py:118-122``).
+        std = jnp.std(advantages, ddof=1)
         advantages = (advantages - mean) / (std + 1e-8)
     return advantages, returns
 

@@ -200,15 +200,24 @@ def gmean(x: Any, axis_name: str | None = None) -> jax.Array:
 
 
 def gstd(x: Any, axis_name: str | None = None) -> jax.Array:
-    """Population standard deviation over all elements, globally.
+    """SAMPLE standard deviation (``ddof=1``) over all elements,
+    globally across the mesh axis.
 
-    Two-pass (centered) like ``jnp.std`` — the one-pass E[x^2] - E[x]^2
-    form catastrophically cancels in f32 when ``|mean| >> std``."""
+    ``ddof=1`` matches ``torch.std``'s unbiased default, which the
+    reference uses for its reward scale, advantage normalization, and
+    return/reward metrics (``_feedforward.py:413-436``,
+    ``nn/functional.py:118-122``); a population std here would shrink
+    every one of those by ``sqrt((n-1)/n)``. Two-pass (centered) — the
+    one-pass E[x^2] - E[x]^2 form catastrophically cancels in f32 when
+    ``|mean| >> std``."""
     if axis_name is None:
-        return jnp.std(x)
+        return jnp.std(x, ddof=1)
     m = jax.lax.pmean(jnp.mean(x), axis_name)
     var = jax.lax.pmean(jnp.mean(jnp.square(x - m)), axis_name)
-    return jnp.sqrt(var)
+    n = jnp.asarray(
+        jnp.size(x) * jax.lax.psum(1, axis_name), jnp.float32
+    )
+    return jnp.sqrt(var * n / (n - 1.0))
 
 
 def gmin(x: Any, axis_name: str | None = None) -> jax.Array:

@@ -70,7 +70,9 @@ def test_gae_normalization() -> None:
         rewards, values, normalize_advantages=True
     )
     assert abs(float(jnp.mean(advantages))) < 1e-5
-    assert abs(float(jnp.std(advantages)) - 1.0) < 1e-3
+    # Normalization divides by the UNBIASED std (torch.std_mean default,
+    # ``/root/reference/src/rl8/nn/functional.py:118-122``).
+    assert abs(float(jnp.std(advantages, ddof=1)) - 1.0) < 1e-3
 
 
 def test_gae_reward_scale() -> None:

@@ -202,7 +202,9 @@ def test_gstd_is_cancellation_safe() -> None:
             check_vma=False,
         )
     )
-    np.testing.assert_allclose(float(fn(x)), float(jnp.std(x)), rtol=1e-3)
+    np.testing.assert_allclose(
+        float(fn(x)), float(jnp.std(x, ddof=1)), rtol=1e-3
+    )
 
 
 def test_state_pspecs_ignore_coincidental_dims() -> None:
