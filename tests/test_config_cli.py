@@ -160,3 +160,48 @@ def test_import_surfaces_nested_dependency_errors(tmp_path) -> None:
             _import("badpkg.Thing")
     finally:
         sys.path.remove(str(tmp_path))
+
+
+def test_from_file_rejects_empty_config(tmp_path) -> None:
+    """An empty/non-mapping config file reports a clear error instead of
+    a TypeError from `in None`."""
+    import pytest
+
+    from rl8_tpu import TrainConfig
+
+    p = tmp_path / "empty.yaml"
+    p.write_text("# just a comment\n")
+    with pytest.raises(RuntimeError, match="mapping"):
+        TrainConfig.from_file(p)
+
+
+def test_optimizer_config_lr_alias_conflict_rejected() -> None:
+    import pytest
+
+    from rl8_tpu import AlgorithmConfig
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    with pytest.raises(ValueError, match="only one of"):
+        AlgorithmConfig(
+            num_envs=8,
+            horizon=4,
+            model_config={"hiddens": (8,)},
+            optimizer_config={"lr": 1e-3, "learning_rate": 3e-4},
+        ).build(DiscreteDummyEnv)
+
+
+def test_zero_minibatch_size_rejected() -> None:
+    """An explicit sgd_minibatch_size=0 reaches hparam validation rather
+    than silently selecting whole-buffer training."""
+    import pytest
+
+    from rl8_tpu import AlgorithmConfig
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    with pytest.raises(ValueError):
+        AlgorithmConfig(
+            num_envs=8,
+            horizon=4,
+            sgd_minibatch_size=0,
+            model_config={"hiddens": (8,)},
+        ).build(DiscreteDummyEnv)

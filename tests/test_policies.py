@@ -191,3 +191,34 @@ def test_serving_composite_observations(tmp_path) -> None:
     )
     assert len(df) == B * T
     assert set(df.columns) >= {DataKeys.ACTIONS, DataKeys.LOGP, DataKeys.VALUES}
+
+
+def test_serving_predict_accepts_mlflow_positional_order(tmp_path) -> None:
+    """MLflow's pyfunc wrapper calls predict(context, model_input,
+    params) positionally; both that order and the standalone
+    single-argument form must work."""
+    import numpy as np
+
+    from rl8_tpu.policies import Policy
+    from rl8_tpu.policies.serving import PolicyModel
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    policy = Policy(Unbounded(1), Discrete(2, shape=(1,)))
+    params = policy.init_params(jax.random.key(0))
+    path = tmp_path / "policy.pkl"
+    policy.save(path, params)
+
+    model = PolicyModel()
+
+    class _Ctx:
+        artifacts = {"policy": str(path)}
+
+    model.load_context(_Ctx())
+    obs = np.zeros((2, 3, 1), dtype=np.float32)
+    df_standalone = model.predict({DataKeys.OBS: obs})
+    df_positional = model.predict(None, {DataKeys.OBS: obs})
+    assert len(df_standalone) == len(df_positional) == 6
+    assert (
+        df_standalone[DataKeys.ACTIONS].tolist()
+        == df_positional[DataKeys.ACTIONS].tolist()
+    )
