@@ -12,7 +12,7 @@ scalars, so per-reset domain randomization works inside jit.
 
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field
 from typing import Any
 
 import jax
@@ -36,11 +36,12 @@ class CartPoleConfig:
     kinematics_integrator: str = "euler"
     length: float = 0.5
     pole_mass: float = 0.1
-    #: Pole mass * pole length. Overwritten in ``__post_init__``.
-    pole_mass_length: float = 0.05
-    #: Pole mass + cart mass. Overwritten in ``__post_init__``.
-    total_mass: float = 1.1
     tau: float = 0.02
+    #: Pole mass * pole length. Derived — not settable; passing it via an
+    #: env config raises instead of being silently recomputed.
+    pole_mass_length: float = field(init=False)
+    #: Pole mass + cart mass. Derived — not settable.
+    total_mass: float = field(init=False)
 
     def __post_init__(self) -> None:
         self.pole_mass_length = self.pole_mass * self.length

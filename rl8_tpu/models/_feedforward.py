@@ -106,6 +106,13 @@ class Model(GenericModelBase):
         drop_sizes = {
             key: vr.drop_size for key, vr in self.view_requirements.items()
         }
+        if not drop_sizes:
+            raise RuntimeError(
+                f"{self} has empty `view_requirements`. A model must"
+                " declare at least one view requirement (the default is"
+                ' `{DataKeys.OBS: ViewRequirement(shift=0)}`) so the'
+                " algorithm knows how to preprocess rollout batches."
+            )
         return next(iter(drop_sizes.values()))
 
     def validate_view_requirements(self) -> None:
@@ -114,6 +121,12 @@ class Model(GenericModelBase):
         drop_sizes = {
             key: vr.drop_size for key, vr in self.view_requirements.items()
         }
+        if not drop_sizes:
+            raise RuntimeError(
+                f"{self} has empty `view_requirements`. A model must"
+                " declare at least one view requirement (the default is"
+                ' `{DataKeys.OBS: ViewRequirement(shift=0)}`).'
+            )
         if len(set(drop_sizes.values())) > 1:
             raise RuntimeError(
                 f"{self} view requirements with drop sizes {drop_sizes} result"

@@ -42,6 +42,26 @@ def get_batch_size_from_model_input(x: Any, /) -> tuple[int, int]:
     return int(arr.shape[0]), int(arr.shape[1])
 
 
+def _resolve_model_input(context: Any, model_input: Any, cls_name: str) -> tuple[Any, Any]:
+    """Disambiguate the two supported ``predict`` calling conventions —
+    MLflow pyfunc's positional ``(context, model_input, params)`` and the
+    standalone single-argument ``predict(model_input)`` — and validate the
+    result so a caller using the pre-0.3.0 ``(model_input, context)``
+    order gets a clear error instead of an obscure ``KeyError``."""
+    if model_input is None:
+        context, model_input = None, context
+    if not isinstance(model_input, dict) or DataKeys.OBS not in model_input:
+        raise TypeError(
+            f"{cls_name}.predict expects a mapping with an"
+            f" {DataKeys.OBS!r} key as the model input, passed either as"
+            " the single argument (`predict(model_input)`) or in MLflow"
+            " pyfunc's positional order"
+            " (`predict(context, model_input, params)`); got"
+            f" {type(model_input).__name__} instead."
+        )
+    return context, model_input
+
+
 def _to_dataframe(batch: dict[str, Any], n_rows: int) -> Any:
     """Convert a flat mapping of ``[N, ...]`` arrays to a DataFrame
     (``/root/reference/src/rl8/_utils.py:147-172``)."""
@@ -98,8 +118,9 @@ class PolicyModel:
         signature, ``policies/_feedforward.py:255``); standalone callers
         may pass just the model input as the single argument.
         """
-        if model_input is None:
-            context, model_input = None, context
+        context, model_input = _resolve_model_input(
+            context, model_input, type(self).__name__
+        )
         obs = model_input[DataKeys.OBS]
         B, T = get_batch_size_from_model_input(obs)
         batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}
@@ -158,8 +179,9 @@ class RecurrentPolicyModel:
         Accepts MLflow's positional ``(context, model_input, params)``
         order or a standalone single-argument model input.
         """
-        if model_input is None:
-            context, model_input = None, context
+        context, model_input = _resolve_model_input(
+            context, model_input, type(self).__name__
+        )
         obs = model_input[DataKeys.OBS]
         B, T = get_batch_size_from_model_input(obs)
         batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}

@@ -31,6 +31,12 @@ class GenericTrainerBase(Generic[_Algorithm]):
         algorithm: Underlying PPO algorithm (env, model, action
             distribution, and hyperparameters included).
         run: Tracking backend; defaults to the process-wide default run.
+            In multi-host runs only process 0 logs: on other processes a
+            caller-supplied run is replaced with a no-op backend (pass
+            ``log_all_processes=True`` to override), so construct
+            resource-allocating runs (e.g. MLflow) behind an
+            ``is_main_process()`` check to avoid opening runs that are
+            never used.
 
     """
 
@@ -52,16 +58,19 @@ class GenericTrainerBase(Generic[_Algorithm]):
         log_all_processes: bool = False,
     ) -> None:
         self.algorithm = algorithm
-        self.tracking_run = run if run is not None else get_default_run()
         # Single-writer semantics in multi-host runs: the reference's
         # single process logs once
         # (``/root/reference/src/rl8/trainers/_base.py:200``); here every
         # process computes identical global stats, so all but process 0
         # drop theirs (override with ``log_all_processes`` for debugging).
+        # The default run isn't even constructed off-main so backends that
+        # allocate resources on creation aren't opened just to be dropped.
         from ..parallel import is_main_process
         from .tracking import NoopRun
 
-        if not log_all_processes and not is_main_process():
+        if log_all_processes or is_main_process():
+            self.tracking_run = run if run is not None else get_default_run()
+        else:
             self.tracking_run = NoopRun()
         self.state = {
             "algorithm/collects": 0,

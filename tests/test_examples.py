@@ -141,6 +141,10 @@ def test_cartpole_kinematics_integrator() -> None:
     cfg = CartPoleConfig(pole_mass=0.2, length=1.0, cart_mass=2.0)
     assert cfg.pole_mass_length == 0.2
     assert cfg.total_mass == 2.2
+    # Derived fields are init=False: passing one raises instead of being
+    # silently recomputed.
+    with pytest.raises(TypeError):
+        CartPoleConfig(total_mass=5.0)
 
 
 def test_algotrading_sell_resets_position_to_current_price() -> None:

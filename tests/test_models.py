@@ -84,6 +84,23 @@ def test_ambiguous_view_requirements_raise() -> None:
         model.validate_view_requirements()
 
 
+def test_empty_view_requirements_raise_clearly() -> None:
+    """An override returning no view requirements fails with an
+    actionable RuntimeError, not a bare StopIteration, both at
+    validation and at drop_size access."""
+
+    class EmptyModel(DefaultDiscreteModel):
+        @property
+        def view_requirements(self):
+            return {}
+
+    model = EmptyModel(Unbounded(3), Discrete(2, shape=(1,)), hiddens=(8,))
+    with pytest.raises(RuntimeError, match="empty"):
+        model.validate_view_requirements()
+    with pytest.raises(RuntimeError, match="empty"):
+        _ = model.drop_size
+
+
 @pytest.mark.parametrize("num_layers", [1, 2])
 def test_recurrent_discrete_model_forward(num_layers: int) -> None:
     model = DefaultDiscreteRecurrentModel(

@@ -222,3 +222,8 @@ def test_serving_predict_accepts_mlflow_positional_order(tmp_path) -> None:
         df_standalone[DataKeys.ACTIONS].tolist()
         == df_positional[DataKeys.ACTIONS].tolist()
     )
+    # A pre-0.3.0 caller passing (model_input, some_context) positionally
+    # gets a clear TypeError naming the accepted conventions, not an
+    # obscure KeyError from binding the context as the model input.
+    with pytest.raises(TypeError, match="calling convention|positional order|mapping"):
+        model.predict({DataKeys.OBS: obs}, object())
