@@ -6,6 +6,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from rl8_tpu import AlgorithmConfig
@@ -347,3 +348,107 @@ def test_non_buffer_view_key_rejected() -> None:
         AlgorithmConfig(
             num_envs=NUM_ENVS, horizon=HORIZON, model_cls=BadModel
         ).build(DiscreteDummyEnv)
+
+
+def test_carried_window_views_equal_reference_buffer_views() -> None:
+    """The collect scan's carried-window view builder
+    (`_build_last_views`) must equal the reference's per-step
+    `apply_view_requirements(buffer[:, :t+1], kind="last")`
+    (`/root/reference/src/rl8/policies/_feedforward.py:135-138`) for
+    every t — including shifted views over non-obs buffer keys, whose
+    current slot is still zero at sampling time."""
+    from rl8_tpu.models import GenericModel, small_uniform_init
+    from rl8_tpu.nn import MLP
+    from rl8_tpu.views import ViewRequirement
+
+    import flax.linen as nn
+
+    class WindowedModel(GenericModel):
+        hiddens: tuple = (8,)
+
+        @property
+        def view_requirements(self):
+            return {
+                DataKeys.OBS: ViewRequirement(shift=2),
+                DataKeys.ACTIONS: ViewRequirement(shift=2),
+                DataKeys.REWARDS: ViewRequirement(shift=1),
+            }
+
+        @nn.compact
+        def __call__(self, batch):
+            obs = batch[DataKeys.OBS][DataKeys.INPUTS]
+            x = obs.reshape(obs.shape[0], -1)
+            latents = jax.nn.relu(MLP(self.hiddens, name="feature_model")(x))
+            logits = nn.Dense(
+                2, kernel_init=small_uniform_init(), name="feature_head"
+            )(latents).reshape(-1, 1, 2)
+            values = nn.Dense(1, name="vf_head")(
+                jax.nn.relu(MLP(self.hiddens, name="vf_model")(x))
+            )
+            return {"logits": logits}, values
+
+    T = 5
+    algo = AlgorithmConfig(
+        num_envs=8, horizon=T, model_cls=WindowedModel, seed=0
+    ).build(DiscreteDummyEnv)
+    model = algo.policy.model
+    env = algo._impl_env
+    B, S = algo._impl_B, algo._max_shift
+    assert S == 2
+
+    key = jax.random.key(7)
+    key, reset_key = jax.random.split(key)
+    env_state, obs0 = env.reset(reset_key, state=algo.state.env_state, config=None)
+
+    # The scan's carry, maintained with the algorithm's own update rules.
+    window = jax.tree_util.tree_map(
+        lambda o: jnp.zeros((B, S + 1, *o.shape[1:]), o.dtype).at[:, -1].set(o),
+        obs0,
+    )
+    valid = jnp.zeros((S + 1,), dtype=bool).at[-1].set(True)
+    nonobs = algo._init_nonobs_windows()
+
+    # The reference's buffer, maintained the reference's way: the current
+    # step's non-obs slots stay zero until after sampling.
+    obs_hist = [obs0]
+    written_hist: dict = {DataKeys.ACTIONS: [], DataKeys.REWARDS: []}
+
+    def _tree_assert_equal(a, b):
+        ja = jax.tree_util.tree_leaves(a)
+        jb = jax.tree_util.tree_leaves(b)
+        assert len(ja) == len(jb)
+        assert jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+        for x, y in zip(ja, jb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    for t in range(T):
+        views = algo._build_last_views(window, valid, nonobs)
+
+        batch = {DataKeys.OBS: jnp.stack(obs_hist, axis=1)}
+        for root in (DataKeys.ACTIONS, DataKeys.REWARDS):
+            zero_slot = algo._zero_view_slot(root)
+            prev = written_hist[root][-t:] if t else []
+            batch[root] = jnp.stack([*prev, zero_slot][-(t + 1):], axis=1)
+            # Reference buffers are zero-initialized, so slots before the
+            # horizon start read as zeros with padding handled by the view
+            # method itself — buffer[:, :t+1] has exactly t+1 slots.
+            assert batch[root].shape[1] == t + 1
+        ref_views = model.apply_view_requirements(batch, kind="last")
+        _tree_assert_equal(views, ref_views)
+
+        key, act_key = jax.random.split(key)
+        actions = jax.random.randint(
+            act_key, algo._zero_view_slot(DataKeys.ACTIONS).shape, 0, 2
+        ).astype(algo._zero_view_slot(DataKeys.ACTIONS).dtype)
+        env_state, obs_next, rewards = env.step(env_state, actions)
+        written = {DataKeys.ACTIONS: actions, DataKeys.REWARDS: rewards}
+        nonobs = algo._advance_nonobs_windows(nonobs, written)
+        window = jax.tree_util.tree_map(
+            lambda w, o: jnp.concatenate([w[:, 1:], o[:, None]], axis=1),
+            window,
+            obs_next,
+        )
+        valid = jnp.concatenate([valid[1:], jnp.ones((1,), dtype=bool)])
+        obs_hist.append(obs_next)
+        for k, v in written.items():
+            written_hist[k].append(v)
