@@ -10,20 +10,29 @@ host-side trainer/scheduler counters, so a restored run continues
 bit-exactly from the last checkpoint.
 
 Crash safety: each save writes a fresh ``ckpt-<K>/`` subdirectory and
-only then atomically updates ``latest.json`` to point at it (a plain
-file replaced with ``os.replace``). A preemption mid-save — the exact
-event checkpointing exists for — leaves ``latest.json`` pointing at the
-previous complete checkpoint, so auto-resume never reads a
-partially-written state tree. The previous checkpoint is retained (two
-generations on disk); older ones are pruned.
+only then atomically publishes ``latest.json`` pointing at it (local
+filesystems get a tmp-file + ``os.replace``; object stores get a single
+object write, which is atomic per object on GCS/S3). A preemption
+mid-save — the exact event checkpointing exists for — leaves
+``latest.json`` pointing at the previous complete checkpoint, so
+auto-resume never reads a partially-written state tree. The previous
+checkpoint is retained (two generations on disk); older ones are pruned.
+
+Storage: paths may be plain filesystem paths or object-store URLs
+(``gs://``, ``s3://``, ``az://``) — host-side JSON goes through
+``etils.epath`` and the array tree through orbax/tensorstore, both of
+which speak object stores natively. TPU pod deployments should point
+``checkpoint_dir`` at a bucket; no shared NFS/FUSE mount is needed.
 
 Multi-host: the orbax array save/restore is COLLECTIVE — every process
 calls it, each writing/reading its addressable shards — while
 ``latest.json`` and the host-state JSON are written by process 0 only.
-The checkpoint directory must therefore live on a filesystem shared by
-all hosts (NFS/FUSE-mounted object storage); object-store URL schemes
-(``gs://`` etc.) are rejected because the host-side JSON files are
-written with plain ``open``.
+
+Topology changes: restore reshards to the RESTORING algorithm's
+shardings (per-leaf orbax restore args built from the template state),
+so a job preempted on one slice shape can resume on a different device
+count or mesh — including single-device debug restores of pod
+checkpoints.
 """
 
 from __future__ import annotations
@@ -31,7 +40,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 from typing import Any
 
 import jax
@@ -44,45 +52,43 @@ _CKPT_RE = re.compile(r"^ckpt-(\d{8})$")
 _KEEP = 2
 
 
-def _check_local_path(directory: str) -> None:
-    if "://" in directory:
-        raise ValueError(
-            f"Checkpoint directory {directory!r} uses a URL scheme; the"
-            " host-side checkpoint files are written with plain file IO,"
-            " so the directory must be a filesystem path (use an"
-            " NFS/FUSE mount shared by all hosts for multi-host runs)."
-        )
+def _as_path(directory: str | os.PathLike[str]) -> Any:
+    """``epath.Path`` for ``directory``; local paths are absolutized so
+    relative inputs stay stable across ``chdir``."""
+    from etils import epath
+
+    raw = os.fspath(directory)
+    if "://" not in raw:
+        raw = os.path.abspath(raw)
+    return epath.Path(raw)
 
 
-def _latest(directory: str) -> tuple[int, str] | None:
+def _latest(directory: Any) -> tuple[int, Any] | None:
     """Return ``(index, subdir)`` of the newest complete checkpoint, or
     ``None``. Reads ``latest.json``; falls back to the pre-versioning
     flat layout (``state/`` + ``host_state.json`` at the top level)."""
-    path = os.path.join(directory, "latest.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            data = json.load(f)
-        sub = os.path.join(directory, data["checkpoint"])
-        return int(data["index"]), sub
-    if os.path.exists(os.path.join(directory, "host_state.json")) and os.path.isdir(
-        os.path.join(directory, "state")
-    ):
+    path = directory / "latest.json"
+    if path.exists():
+        data = json.loads(path.read_text())
+        return int(data["index"]), directory / data["checkpoint"]
+    if (directory / "host_state.json").exists() and (directory / "state").is_dir():
         return 0, directory  # legacy flat layout
     return None
 
 
 def checkpoint_exists(directory: str | os.PathLike[str], /) -> bool:
     """Whether ``directory`` holds a complete checkpoint written by
-    :func:`save_checkpoint` (``latest.json`` is updated atomically after
-    a checkpoint finishes, so it only ever points at complete state)."""
-    directory = os.path.abspath(directory)
+    :func:`save_checkpoint` (``latest.json`` is published atomically
+    after a checkpoint finishes, so it only ever points at complete
+    state)."""
+    directory = _as_path(directory)
+    if not directory.exists():
+        return False
     latest = _latest(directory)
     if latest is None:
         return False
     _, sub = latest
-    return os.path.exists(os.path.join(sub, "host_state.json")) and os.path.isdir(
-        os.path.join(sub, "state")
-    )
+    return (sub / "host_state.json").exists() and (sub / "state").is_dir()
 
 
 def _encode_rng(state: Any) -> Any:
@@ -101,6 +107,22 @@ def _barrier(name: str) -> None:
         multihost_utils.sync_global_devices(f"rl8_tpu:{name}")
 
 
+def _publish_latest(directory: Any, name: str, index: int) -> None:
+    """Atomically point ``latest.json`` at checkpoint ``name``."""
+    payload = json.dumps({"checkpoint": name, "index": index})
+    raw = str(directory)
+    if "://" in raw:
+        # Object stores write whole objects atomically; readers see
+        # either the previous latest.json or the new one, never a
+        # partial write.
+        (directory / "latest.json").write_text(payload)
+        return
+    tmp = os.path.join(raw, "latest.json.tmp")
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, os.path.join(raw, "latest.json"))
+
+
 def save_checkpoint(
     directory: str | os.PathLike[str],
     algorithm: Any,
@@ -112,7 +134,8 @@ def save_checkpoint(
     counters) as a new checkpoint generation under ``directory``.
 
     Args:
-        directory: Checkpoint directory (created if missing). Holds the
+        directory: Checkpoint directory (created if missing) — a local
+            path or an object-store URL (``gs://bucket/run1``). Holds the
             last two generations plus ``latest.json``.
         algorithm: An ``Algorithm``/``RecurrentAlgorithm`` instance.
         trainer_state: Optional trainer counters to persist alongside.
@@ -120,24 +143,21 @@ def save_checkpoint(
     """
     import orbax.checkpoint as ocp
 
-    _check_local_path(os.fspath(directory))
-    directory = os.path.abspath(directory)
-    latest = _latest(directory)
+    directory = _as_path(directory)
+    if jax.process_index() == 0:
+        directory.mkdir(parents=True, exist_ok=True)
+    latest = _latest(directory) if directory.exists() else None
     index = (latest[0] if latest else 0) + 1
     name = f"ckpt-{index:08d}"
-    ckpt_dir = os.path.join(directory, name)
+    ckpt_dir = directory / name
     # Clear debris from a previously-interrupted save of this index.
-    if jax.process_index() == 0 and os.path.isdir(ckpt_dir):
-        shutil.rmtree(ckpt_dir)
+    if jax.process_index() == 0 and ckpt_dir.is_dir():
+        ckpt_dir.rmtree()
     _barrier("checkpoint_begin")
 
     checkpointer = ocp.PyTreeCheckpointer()
     # COLLECTIVE across processes (each writes its addressable shards).
-    checkpointer.save(
-        os.path.join(ckpt_dir, "state"),
-        _encode_rng(algorithm.state),
-        force=True,
-    )
+    checkpointer.save(ckpt_dir / "state", _encode_rng(algorithm.state), force=True)
     if jax.process_index() == 0:
         host = {
             "horizons_host": algorithm._horizons_host,
@@ -145,19 +165,18 @@ def save_checkpoint(
             "entropy_coeff": algorithm.entropy_scheduler.coeff,
             "trainer_state": trainer_state or {},
         }
-        with open(os.path.join(ckpt_dir, "host_state.json"), "w") as f:
-            json.dump(host, f)
-        # Publish: atomic replace means latest.json always points at a
-        # COMPLETE checkpoint, even across preemptions mid-save.
-        tmp = os.path.join(directory, "latest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"checkpoint": name, "index": index}, f)
-        os.replace(tmp, os.path.join(directory, "latest.json"))
+        (ckpt_dir / "host_state.json").write_text(json.dumps(host))
+        # Publish: latest.json always points at a COMPLETE checkpoint,
+        # even across preemptions mid-save.
+        _publish_latest(directory, name, index)
         # Prune generations older than the retained window.
-        for entry in os.listdir(directory):
-            m = _CKPT_RE.match(entry)
+        for entry in directory.iterdir():
+            m = _CKPT_RE.match(entry.name)
             if m and int(m.group(1)) <= index - _KEEP:
-                shutil.rmtree(os.path.join(directory, entry), ignore_errors=True)
+                try:
+                    entry.rmtree()
+                except OSError:
+                    pass
     # Don't let other processes race ahead (e.g. into an immediate
     # restore) before process 0 publishes the new generation.
     _barrier("checkpoint_publish")
@@ -172,7 +191,11 @@ def restore_checkpoint(
     checkpoint, in place.
 
     The algorithm must be constructed with the same config (the
-    checkpointed pytree must structurally match its state).
+    checkpointed pytree must structurally match its state), but NOT
+    necessarily the same device topology: every leaf is restored with
+    the restoring algorithm's own sharding (orbax reshards on read), so
+    a checkpoint saved on an 8-device mesh restores onto 4 devices, one
+    device, or a different mesh shape bit-exactly.
 
     Returns:
         The persisted trainer counters (empty dict if none were saved).
@@ -180,25 +203,28 @@ def restore_checkpoint(
     """
     import orbax.checkpoint as ocp
 
-    _check_local_path(os.fspath(directory))
-    directory = os.path.abspath(directory)
-    latest = _latest(directory)
+    directory = _as_path(directory)
+    latest = _latest(directory) if directory.exists() else None
     if latest is None:
         raise FileNotFoundError(f"No checkpoint found under {directory}.")
     _, ckpt_dir = latest
     checkpointer = ocp.PyTreeCheckpointer()
     template = _encode_rng(algorithm.state)
+    # Per-leaf restore args carry the TEMPLATE's shardings, so orbax
+    # reshards saved arrays onto this algorithm's topology instead of
+    # assuming the saved one (which would be unsafe across topologies).
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
     restored = checkpointer.restore(
-        os.path.join(ckpt_dir, "state"),
+        ckpt_dir / "state",
         item=template,
+        restore_args=restore_args,
     )
     # Preserve integer/bool dtypes the template declares.
     restored = jax.tree_util.tree_map(
         lambda t, r: jnp.asarray(r, dtype=t.dtype), template, restored
     )
     algorithm.state = _decode_rng(restored)
-    with open(os.path.join(ckpt_dir, "host_state.json")) as f:
-        host = json.load(f)
+    host = json.loads((ckpt_dir / "host_state.json").read_text())
     algorithm._horizons_host = host["horizons_host"]
     algorithm.lr_scheduler.coeff = host["lr_coeff"]
     algorithm.entropy_scheduler.coeff = host["entropy_coeff"]
