@@ -1,10 +1,20 @@
-"""Worker for the 2-process multi-host test (``test_multihost.py``).
+"""Worker for the 2-process multi-host tests (``test_multihost.py``).
 
 Each process owns 4 virtual CPU devices; ``jax.distributed`` joins them
 into one 8-device mesh spanning both processes — the JAX-idiomatic stand
 -in for a 2-host TPU slice. Run as::
 
-    python _multihost_worker.py <proc_id> <port> <tmpdir> <repo_root>
+    python _multihost_worker.py <proc_id> <port> <tmpdir> <repo_root> [mode]
+
+Modes:
+    train (default): 3 trainer steps + checkpoint round trip.
+    fault: save generation 1, then simulate a preemption — process 1
+        dies between the ``checkpoint_begin`` and ``checkpoint_publish``
+        barriers of the generation-2 save (exit 17), while process 0
+        rides out the failed collective under a watchdog (exit 3 on
+        hang, 0 when the failure surfaced as an exception).
+    resume: restart after the fault — restore (must land on the last
+        COMPLETE generation), train a step, save a fresh generation.
 """
 
 import json
@@ -17,6 +27,7 @@ def main() -> None:
     port = sys.argv[2]
     tmpdir = sys.argv[3]
     repo_root = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
     sys.path.insert(0, repo_root)
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -55,23 +66,62 @@ def main() -> None:
     # Every process passes a real tracking run pointed at the SAME
     # directory; host-0 gating must leave exactly one writer.
     trainer = Trainer(algorithm, run=JsonlRun(os.path.join(tmpdir, "track")))
-
-    trainer.step()
-    trainer.step()
-
     ckpt_dir = os.path.join(tmpdir, "ckpt")
-    trainer.save_checkpoint(ckpt_dir)
-    trainer.restore_checkpoint(ckpt_dir)
 
-    stats = trainer.step()
-    result = {
-        "losses/total": float(stats["losses/total"]),
-        "returns/mean": float(stats["returns/mean"]),
-        "env/steps": int(stats["env/steps"]),
-        "algorithm/steps": int(stats["algorithm/steps"]),
-    }
-    with open(os.path.join(tmpdir, f"result_{proc_id}.json"), "w") as f:
-        json.dump(result, f)
+    if mode == "train":
+        trainer.step()
+        trainer.step()
+
+        trainer.save_checkpoint(ckpt_dir)
+        trainer.restore_checkpoint(ckpt_dir)
+
+        stats = trainer.step()
+        result = {
+            "losses/total": float(stats["losses/total"]),
+            "returns/mean": float(stats["returns/mean"]),
+            "env/steps": int(stats["env/steps"]),
+            "algorithm/steps": int(stats["algorithm/steps"]),
+        }
+        with open(os.path.join(tmpdir, f"result_{proc_id}.json"), "w") as f:
+            json.dump(result, f)
+    elif mode == "fault":
+        import threading
+
+        import rl8_tpu.checkpoint as ck
+
+        trainer.step()
+        trainer.save_checkpoint(ckpt_dir)  # generation 1, complete
+
+        orig_barrier = ck._barrier
+
+        def _preempting_barrier(name: str) -> None:
+            orig_barrier(name)
+            if name == "checkpoint_begin" and proc_id == 1:
+                os._exit(17)  # preempted after begin, before publish
+
+        ck._barrier = _preempting_barrier
+        trainer.step()
+        if proc_id == 0:
+            # The collective save can only fail with a dead peer; bound
+            # how long we wait for that failure to surface.
+            threading.Timer(75.0, lambda: os._exit(3)).start()
+        status = "save_completed"
+        try:
+            trainer.save_checkpoint(ckpt_dir)  # generation 2: must NOT publish
+        except BaseException as e:  # noqa: BLE001 — any failure is a valid preemption
+            status = f"save_failed:{type(e).__name__}"
+        with open(os.path.join(tmpdir, f"fault_result_{proc_id}.json"), "w") as f:
+            json.dump({"status": status}, f)
+        os._exit(0 if proc_id == 0 else 18)  # 18: process 1 outlived its kill
+    elif mode == "resume":
+        trainer.restore_checkpoint(ckpt_dir)
+        restored = dict(trainer.state)
+        trainer.step()
+        trainer.save_checkpoint(ckpt_dir)
+        with open(os.path.join(tmpdir, f"resume_result_{proc_id}.json"), "w") as f:
+            json.dump({"restored": restored, "after": dict(trainer.state)}, f)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
 
 
 if __name__ == "__main__":

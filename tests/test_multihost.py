@@ -84,3 +84,79 @@ def test_two_process_training(tmp_path):
     with open(gen / "host_state.json") as f:
         host = json.load(f)
     assert host["trainer_state"]["algorithm/steps"] == 2
+
+
+@pytest.mark.slow
+def test_multihost_checkpoint_fault_injection(tmp_path):
+    """Kill one worker between the `checkpoint_begin` and
+    `checkpoint_publish` barriers: the generation-2 save must NOT
+    publish (latest.json keeps pointing at the last COMPLETE
+    generation), and a full restart resumes from generation 1 and can
+    checkpoint again — the crash-safety design claim of
+    `rl8_tpu/checkpoint.py`, proven with real processes."""
+
+    def _launch(mode):
+        port = _free_port()
+        return [
+            subprocess.Popen(
+                [
+                    sys.executable, str(_WORKER), str(i), str(port),
+                    str(tmp_path), _REPO_ROOT, mode,
+                ],
+                env=dict(os.environ),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+
+    procs = _launch("fault")
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    # Process 1 was preempted between the barriers; process 0 either saw
+    # the collective fail (0) or was reaped by its watchdog (3).
+    assert procs[1].returncode == 17, f"worker 1:\n{outputs[1]}"
+    assert procs[0].returncode in (0, 3), (
+        f"worker 0 rc={procs[0].returncode}:\n{outputs[0]}"
+    )
+
+    # latest.json is untouched: it still names generation 1, the last
+    # checkpoint whose publish barrier completed.
+    with open(tmp_path / "ckpt" / "latest.json") as f:
+        assert json.load(f)["checkpoint"] == "ckpt-00000001"
+    from rl8_tpu.checkpoint import checkpoint_exists
+
+    assert checkpoint_exists(tmp_path / "ckpt")
+
+    # A restart (fresh 2-process launch) resumes from generation 1 and
+    # checkpoints a fresh complete generation over the debris.
+    procs = _launch("resume")
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"resume worker {i} failed:\n{out}"
+
+    with open(tmp_path / "resume_result_0.json") as f:
+        r0 = json.load(f)
+    with open(tmp_path / "resume_result_1.json") as f:
+        r1 = json.load(f)
+    assert r0 == r1
+    assert r0["restored"]["algorithm/steps"] == 1  # generation 1's counters
+    assert r0["after"]["algorithm/steps"] == 2
+    with open(tmp_path / "ckpt" / "latest.json") as f:
+        assert json.load(f)["checkpoint"] == "ckpt-00000002"
