@@ -92,11 +92,48 @@ ENV_AXIS = "env"
 def create_mesh(
     devices: Any = None, *, axis_name: str = ENV_AXIS
 ) -> Mesh:
-    """Create a 1-D mesh over ``devices`` (default: all local devices)."""
+    """Create a 1-D mesh over ``devices`` (default: all devices, every
+    host), ordered so collectives ride the fastest links.
+
+    Single slice: ``jax.experimental.mesh_utils.create_device_mesh``
+    orders the devices along the slice's ICI torus (a ring-friendly
+    order for the gradient all-reduce). Multi-slice (devices spanning
+    2+ ``slice_index`` values, i.e. DCN-connected slices):
+    ``create_hybrid_device_mesh`` lays the axis out ICI-inner/DCN-outer
+    — each slice's devices contiguous along the axis — so XLA
+    decomposes the all-reduce hierarchically (reduce-scatter within a
+    slice over ICI, the small cross-slice hop over DCN, all-gather back
+    over ICI) instead of threading a single ring through arbitrary
+    ICI/DCN interleavings. SURVEY §2.3: "DCN only for multi-slice
+    scale-out"; see ``docs/performance.md`` for the multi-slice story.
+    """
     if devices is None:
         devices = jax.devices()
     import numpy as np
 
+    devices = list(devices)
+    if len(devices) > 1:
+        from jax.experimental import mesh_utils
+
+        slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        try:
+            if len(slice_ids) > 1 and None not in slice_ids:
+                if len(devices) % len(slice_ids):
+                    raise ValueError("unequal slice sizes")
+                arr = mesh_utils.create_hybrid_device_mesh(
+                    (len(devices) // len(slice_ids),),
+                    (len(slice_ids),),
+                    devices=devices,
+                )
+            else:
+                arr = mesh_utils.create_device_mesh(
+                    (len(devices),), devices=devices
+                )
+            return Mesh(arr.reshape(-1), (axis_name,))
+        except (ValueError, AssertionError, NotImplementedError):
+            # Unusual topologies (e.g. a hand-picked device subset) fall
+            # back to the given order.
+            pass
     return Mesh(np.asarray(devices), (axis_name,))
 
 

@@ -281,3 +281,41 @@ def test_ambiguous_env_state_shard_state_rejected() -> None:
     )
     with pytest.raises(ValueError, match="Ambiguous"):
         shard_state(bad_state, create_mesh(), 16)
+
+
+def test_create_mesh_multi_slice_orders_ici_inner_dcn_outer() -> None:
+    """Devices spanning 2 slices (DCN-connected) come out grouped
+    slice-contiguous — ICI-inner/DCN-outer — so the gradient all-reduce
+    decomposes hierarchically instead of threading one ring across
+    arbitrary ICI/DCN interleavings (SURVEY section 2.3: DCN only for
+    multi-slice scale-out)."""
+
+    class FakeDevice:
+        platform = "cpu"
+        device_kind = "cpu"
+
+        def __init__(self, id, slice_index, process_index=0):
+            self.id = id
+            self.slice_index = slice_index
+            self.process_index = process_index
+
+    # Worst-case input: slices interleaved device by device.
+    devices = [FakeDevice(i, slice_index=i % 2) for i in range(8)]
+    mesh = create_mesh(devices)
+    order = [d.slice_index for d in mesh.devices.ravel()]
+    assert order == [0] * 4 + [1] * 4, order
+
+    # Three slices, shuffled input.
+    devices = [FakeDevice(i, slice_index=i % 3) for i in range(12)]
+    devices = devices[::-1]
+    mesh = create_mesh(devices)
+    order = [d.slice_index for d in mesh.devices.ravel()]
+    for s in set(order):
+        first = order.index(s)
+        assert order[first : first + 4] == [s] * 4, order
+
+    # Single-slice and slice-less (CPU) device lists still mesh fine.
+    mesh = create_mesh(jax.devices())
+    assert mesh.devices.size == len(jax.devices())
+    mesh = create_mesh(jax.devices()[:3])
+    assert mesh.devices.size == 3
