@@ -1,10 +1,18 @@
 """Throughput benchmark: env transitions/s with one policy update per
 horizon (the reference's headline metric, ``README.md:8-10``).
 
+Covers the default dummy-env configs, the three algotrading example
+models (the reference's claim is that throughput holds for its example
+models), and non-tiny regimes (wide torsos / attention) where the
+system leaves the HBM-bound small-model regime.
+
 Examples:
     python -m benchmarks.throughput
     python -m benchmarks.throughput --num-envs 16384 --horizon 64
     python -m benchmarks.throughput --recurrent
+    python -m benchmarks.throughput --model mule --fused-forward
+    python -m benchmarks.throughput --model alpaca
+    python -m benchmarks.throughput --hiddens 1024,1024
 """
 
 from __future__ import annotations
@@ -14,24 +22,96 @@ import json
 import time
 
 
+def _algotrading_config(
+    model: str, hiddens, fused_forward: bool, amp: bool, **kwargs
+):
+    import jax.numpy as jnp
+
+    from examples.algotrading.models import (
+        AttentiveAlpaca,
+        LazyLemur,
+        MischievousMule,
+    )
+    from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
+
+    model_config: dict = {}
+    if hiddens is not None:
+        model_config["hiddens"] = hiddens
+    if amp:
+        model_config["dtype"] = jnp.bfloat16
+    common = dict(
+        model_config=model_config,
+        accumulate_grads=amp,
+        enable_amp=amp,
+        **kwargs,
+    )
+    if model == "mule":
+        return AlgorithmConfig(
+            model_cls=MischievousMule, fused_forward=fused_forward, **common
+        )
+    if model == "alpaca":
+        return AlgorithmConfig(
+            model_cls=AttentiveAlpaca, fused_forward=fused_forward, **common
+        )
+    if model == "lemur":
+        return RecurrentAlgorithmConfig(model_cls=LazyLemur, **common)
+    raise ValueError(f"unknown algotrading model {model!r}")
+
+
 def measure(
     *,
     num_envs: int,
     horizon: int,
-    recurrent: bool,
+    recurrent: bool = False,
+    model: str | None = None,
+    hiddens=None,
+    fused_forward: bool = False,
+    amp: bool = False,
     iters: int = 20,
     mesh=None,
 ) -> dict[str, float]:
+    """Transitions/s for one tracked configuration.
+
+    Args:
+        model: ``None`` for the default models on the dummy envs, or an
+            algotrading example model (``mule``/``alpaca``/``lemur``).
+        hiddens: Torso widths override (e.g. ``(1024, 1024)`` for the
+            FLOP-bound regime study in ``docs/performance.md``).
+        fused_forward: Run custom-model forwards through the fused
+            Pallas chain kernels (``ops/fused_mlp.py``).
+        amp: bf16 compute + gradient accumulation (the tracked
+            algotrading config).
+    """
     from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
     from rl8_tpu.env import DiscreteDummyEnv
 
-    if recurrent:
+    if model is not None:
+        from examples.algotrading.env import AlgoTrading
+
+        config = _algotrading_config(
+            model,
+            hiddens,
+            fused_forward,
+            amp,
+            num_envs=num_envs,
+            horizon=horizon,
+            mesh=mesh,
+            sgd_minibatch_size=num_envs * horizon // 4,
+        )
+        algo = config.build(AlgoTrading)
+    elif recurrent:
         algo = RecurrentAlgorithmConfig(
-            num_envs=num_envs, horizon=horizon, mesh=mesh
+            num_envs=num_envs,
+            horizon=horizon,
+            mesh=mesh,
+            model_config={"hiddens": hiddens} if hiddens else {},
         ).build(DiscreteDummyEnv)
     else:
         algo = AlgorithmConfig(
-            num_envs=num_envs, horizon=horizon, mesh=mesh
+            num_envs=num_envs,
+            horizon=horizon,
+            mesh=mesh,
+            model_config={"hiddens": hiddens} if hiddens else {},
         ).build(DiscreteDummyEnv)
     algo.train_steps(iters)  # warm the compile cache
     start = time.perf_counter()
@@ -48,15 +128,34 @@ def main() -> None:
     parser.add_argument("--num-envs", type=int, default=8192)
     parser.add_argument("--horizon", type=int, default=32)
     parser.add_argument("--recurrent", action="store_true")
+    parser.add_argument(
+        "--model",
+        choices=("mule", "alpaca", "lemur"),
+        default=None,
+        help="benchmark an algotrading example model instead of the default",
+    )
+    parser.add_argument(
+        "--hiddens",
+        type=lambda s: tuple(int(x) for x in s.split(",")),
+        default=None,
+        help="torso widths, e.g. 1024,1024",
+    )
+    parser.add_argument("--fused-forward", action="store_true")
+    parser.add_argument("--amp", action="store_true")
     parser.add_argument("--iters", type=int, default=20)
     args = parser.parse_args()
     result = measure(
         num_envs=args.num_envs,
         horizon=args.horizon,
         recurrent=args.recurrent,
+        model=args.model,
+        hiddens=args.hiddens,
+        fused_forward=args.fused_forward,
+        amp=args.amp,
         iters=args.iters,
     )
-    print(json.dumps({"config": vars(args), **result}))
+    cfg = {k: v for k, v in vars(args).items() if v not in (None, False)}
+    print(json.dumps({"config": cfg, **result}))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,29 @@ _FMIN = float(jnp.finfo(jnp.float32).min)
 __all__ = ["MischievousMule"]
 
 
+def _price_features(obs: dict, L: int) -> jax.Array:
+    """Sum-aggregate the windowed price changes at four intervals —
+    shared by the flax forward and the fused-kernel assembly so both
+    paths compute the identical feature vector."""
+    x_price = obs["LOG_CHANGE(price)"][DataKeys.INPUTS]
+    return jnp.concatenate(
+        [
+            jnp.sum(x_price[:, : L // 4], axis=1),
+            jnp.sum(x_price[:, : L // 2], axis=1),
+            jnp.sum(x_price[:, -(L // 2) :], axis=1),
+            jnp.sum(x_price[:, -(L // 4) :], axis=1),
+        ],
+        axis=-1,
+    )
+
+
+def _action_mask_logits(obs: dict) -> jax.Array:
+    """-inf logits for invalid actions (shared between both paths)."""
+    return jnp.clip(
+        jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
+    ).reshape(-1, 1, 3)
+
+
 class MischievousMule(GenericModel):
     """A model that aggregates historical price changes at different
     intervals to form a latent vector fed into the feature/value heads.
@@ -56,22 +79,16 @@ class MischievousMule(GenericModel):
     @nn.compact
     def __call__(self, batch: Any) -> tuple[dict[str, jax.Array], jax.Array]:
         obs = batch[DataKeys.OBS]
-        L = self.seq_len
         x_invested = nn.Embed(2, self.invested_embed_dim, name="invested_embedding")(
             obs["invested"].reshape(-1)
         )
-        x_price = obs["LOG_CHANGE(price)"][DataKeys.INPUTS]
-        x_price = jnp.concatenate(
+        x = jnp.concatenate(
             [
-                jnp.sum(x_price[:, : L // 4], axis=1),
-                jnp.sum(x_price[:, : L // 2], axis=1),
-                jnp.sum(x_price[:, -(L // 2) :], axis=1),
-                jnp.sum(x_price[:, -(L // 4) :], axis=1),
+                x_invested,
+                obs["LOG_CHANGE(price, position)"],
+                _price_features(obs, self.seq_len),
             ],
             axis=-1,
-        )
-        x = jnp.concatenate(
-            [x_invested, obs["LOG_CHANGE(price, position)"], x_price], axis=-1
         )
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -87,12 +104,50 @@ class MischievousMule(GenericModel):
             dtype=self.dtype,
             name="feature_head",
         )(latents).reshape(-1, 1, 3).astype(jnp.float32)
-        inf_mask = jnp.clip(
-            jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
-        ).reshape(-1, 1, 3)
         vf_latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
                 dtype=self.dtype, name="vf_model")(x)
         )
         values = nn.Dense(1, dtype=self.dtype, name="vf_head")(vf_latents)
-        return {"logits": logits + inf_mask}, values.astype(jnp.float32)
+        return {"logits": logits + _action_mask_logits(obs)}, values.astype(
+            jnp.float32
+        )
+
+    def fused_apply_spec(self) -> Any:
+        """Fused-kernel decomposition (``rl8_tpu/ops/fused_mlp.py``): the
+        cheap composite-obs assembly (embedding lookup + interval sums)
+        and the -inf action masking stay in XLA; the twin
+        LayerNorm-MLP/head chains run in one Pallas kernel. This is the
+        fast path behind the algotrading tracked config's throughput."""
+        from rl8_tpu.ops.fused_mlp import FusedApplySpec
+
+        L = self.seq_len
+
+        def assemble(params: Any, batch: Any) -> jax.Array:
+            obs = batch[DataKeys.OBS]
+            emb = params["invested_embedding"]["embedding"]
+            x_invested = jnp.take(emb, obs["invested"].reshape(-1), axis=0)
+            return jnp.concatenate(
+                [
+                    x_invested,
+                    obs["LOG_CHANGE(price, position)"],
+                    _price_features(obs, L),
+                ],
+                axis=-1,
+            )
+
+        def finalize(batch: Any, outs: Any) -> tuple[dict, jax.Array]:
+            (logits,), (values,) = outs
+            obs = batch[DataKeys.OBS]
+            return {
+                "logits": logits.reshape(-1, 1, 3) + _action_mask_logits(obs)
+            }, values
+
+        return FusedApplySpec(
+            assemble=assemble,
+            finalize=finalize,
+            chain_names=(
+                ("feature_model", ("feature_head",)),
+                ("vf_model", ("vf_head",)),
+            ),
+        )

@@ -368,12 +368,19 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
     def _apply_model(
         self, params: Any, batch: Any
     ) -> tuple[dict[str, jax.Array], jax.Array]:
-        """Model forward: fused Pallas kernels on TPU for default models,
-        the flax module otherwise."""
+        """Model forward: fused Pallas kernels on TPU for default models
+        and for custom models declaring a ``FusedApplySpec``, the flax
+        module otherwise."""
         if self._fused_forward:
-            from ..ops.fused_mlp import fused_default_apply
+            from ..models import DefaultContinuousModel, DefaultDiscreteModel
+            from ..ops.fused_mlp import fused_custom_apply, fused_default_apply
 
-            return fused_default_apply(self.policy.model, params, batch)
+            if type(self.policy.model) in (
+                DefaultDiscreteModel,
+                DefaultContinuousModel,
+            ):
+                return fused_default_apply(self.policy.model, params, batch)
+            return fused_custom_apply(self.policy.model, params, batch)
         return self.policy.model.apply({"params": params}, batch)
 
     # ------------------------------------------------------------------

@@ -135,6 +135,17 @@ class Model(GenericModelBase):
                 " environment's observation function."
             )
 
+    def fused_apply_spec(self) -> Any:
+        """Optional fused-kernel decomposition for custom MLP-style
+        models (see :class:`rl8_tpu.ops.fused_mlp.FusedApplySpec`).
+
+        Return a ``FusedApplySpec`` to run this model's torso/head
+        chains through the fused Pallas kernels on TPU (input assembly
+        and output postprocessing stay in XLA, differentiably). The
+        default ``None`` keeps the plain flax apply path.
+        """
+        return None
+
     def __call__(self, batch: Any) -> tuple[dict[str, jax.Array], jax.Array]:
         raise NotImplementedError
 

@@ -55,7 +55,7 @@ def _discrete_act_kernel(
     pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
 
     x = x_ref[:]
-    _, all_outs = _forward_block(x, params, sizes, activation)
+    _, _, all_outs = _forward_block(x, params, sizes, activation)
     logits = all_outs[0][0]
     values_ref[:] = all_outs[1][0]
 
@@ -80,7 +80,7 @@ def _continuous_act_kernel(
 
     x = x_ref[:]
     tile = x.shape[0]
-    _, all_outs = _forward_block(x, params, sizes, activation)
+    _, _, all_outs = _forward_block(x, params, sizes, activation)
     mean, pre_log_std = all_outs[0]
     values_ref[:] = all_outs[1][0]
     log_std = jnp.tanh(pre_log_std)

@@ -21,6 +21,7 @@ default flax models' parameter trees onto it.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 import jax
@@ -30,7 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..data import DataKeys
 
-__all__ = ["fused_chains", "fused_default_apply", "supports_fused_apply"]
+__all__ = [
+    "fused_chains",
+    "fused_default_apply",
+    "fused_custom_apply",
+    "supports_fused_apply",
+    "FusedApplySpec",
+]
 
 # Activations with derivatives expressible from the *post*-activation
 # value (what the backward pass recomputes).
@@ -128,36 +135,74 @@ def _dot_bt(a: jax.Array, b: jax.Array) -> jax.Array:
     return pl.dot(_bf(a), _bf(b), trans_b=True).astype(jnp.float32)
 
 
-def _chain_sizes(chains: Any) -> tuple[tuple[int, int], ...]:
-    return tuple((len(layers), len(heads)) for layers, heads in chains)
+#: Flax ``nn.LayerNorm`` epsilon (its default; the fused layers must
+#: match the flax forward bit-for-bit up to matmul precision).
+_LN_EPS = 1e-6
+
+
+def _chain_sizes(chains: Any) -> tuple[tuple[tuple[bool, ...], int], ...]:
+    """Static chain structure: per chain, the per-layer LayerNorm flags
+    (a layer tuple is ``(W, b)`` or ``(W, b, ln_scale, ln_bias)``) and
+    the head count."""
+    return tuple(
+        (tuple(len(layer) == 4 for layer in layers), len(heads))
+        for layers, heads in chains
+    )
 
 
 def _flatten_params(chains: Any) -> list[jax.Array]:
     flat: list[jax.Array] = []
     for layers, heads in chains:
-        for w, b in list(layers) + list(heads):
+        for layer in layers:
+            w, b = layer[0], layer[1]
+            flat.append(w)
+            flat.append(b.reshape(1, -1))
+            if len(layer) == 4:
+                flat.append(layer[2].reshape(1, -1))  # LN scale
+                flat.append(layer[3].reshape(1, -1))  # LN bias
+        for w, b in heads:
             flat.append(w)
             flat.append(b.reshape(1, -1))
     return flat
 
 
 def _forward_block(
-    x: jax.Array, refs: Sequence[Any], sizes: tuple[tuple[int, int], ...],
-    activation: str,
-) -> tuple[list[list[jax.Array]], list[list[jax.Array]]]:
+    x: jax.Array, refs: Sequence[Any], sizes: Any, activation: str,
+) -> tuple[list[list[jax.Array]], list[list[Any]], list[list[jax.Array]]]:
     """Shared fwd recompute: returns per-chain activation stacks
-    (``[x, h_1, ..., h_L]``) and head outputs."""
+    (``[x, h_1, ..., h_L]``), per-layer LayerNorm aux ``(xhat, s)`` (or
+    ``None``), and head outputs.
+
+    A layer computes ``h = act(maybe_LN(h @ W + b))`` — the flax
+    ``MLP(layer_norm=...)`` + trailing activation layout
+    (``rl8_tpu/nn/modules/mlp.py:46-51``), with flax's fast-variance
+    LayerNorm statistics."""
     act = _ACT_FNS[activation]
     r = 0
     all_hs: list[list[jax.Array]] = []
+    all_aux: list[list[Any]] = []
     all_outs: list[list[jax.Array]] = []
-    for n_layers, n_heads in sizes:
+    for ln_flags, n_heads in sizes:
         hs = [x]
+        aux: list[Any] = []
         h = x
-        for _ in range(n_layers):
+        for has_ln in ln_flags:
             w, b = refs[r][:], refs[r + 1][:]
             r += 2
-            h = act(_dot(h, w) + b)
+            z = _dot(h, w) + b
+            if has_ln:
+                gamma, beta = refs[r][:], refs[r + 1][:]
+                r += 2
+                mu = jnp.mean(z, axis=1, keepdims=True)
+                # Fast variance (flax's default): E[z^2] - E[z]^2.
+                var = jnp.mean(z * z, axis=1, keepdims=True) - mu * mu
+                s = jax.lax.rsqrt(var + _LN_EPS)
+                xhat = (z - mu) * s
+                aux.append((xhat, s))
+                z = xhat * gamma + beta
+            else:
+                aux.append(None)
+            h = act(z)
             hs.append(h)
         outs = []
         for _ in range(n_heads):
@@ -165,14 +210,15 @@ def _forward_block(
             r += 2
             outs.append(_dot(h, w) + b)
         all_hs.append(hs)
+        all_aux.append(aux)
         all_outs.append(outs)
-    return all_hs, all_outs
+    return all_hs, all_aux, all_outs
 
 
 def _fwd_kernel(sizes, activation, n_params, x_ref, *refs):
     params = refs[:n_params]
     outs_refs = refs[n_params:]
-    _, all_outs = _forward_block(x_ref[:], params, sizes, activation)
+    _, _, all_outs = _forward_block(x_ref[:], params, sizes, activation)
     o = 0
     for outs in all_outs:
         for out in outs:
@@ -209,11 +255,12 @@ def _make_acc() -> Any:
 
 
 def _chains_backward(
-    sizes: tuple[tuple[int, int], ...],
+    sizes: Any,
     activation: str,
     params: Sequence[Any],
     head_wt_refs: Sequence[Any],
     all_hs: list[list[jax.Array]],
+    all_aux: list[list[Any]],
     all_douts: list[list[jax.Array]],
     dparam_refs: Sequence[Any],
     acc: Any,
@@ -227,10 +274,13 @@ def _chains_backward(
     r = 0  # param ref cursor (dparam refs share the layout)
     o = 0  # flat head cursor (head_wt_refs layout)
     dx_total = None
-    for c, (n_layers, n_heads) in enumerate(sizes):
+    for c, (ln_flags, n_heads) in enumerate(sizes):
         hs = all_hs[c]
-        layer_base = r
-        r += 2 * n_layers
+        aux = all_aux[c]
+        layer_bases = []
+        for has_ln in ln_flags:
+            layer_bases.append(r)
+            r += 4 if has_ln else 2
         dh = None
         for j in range(n_heads):
             dout = all_douts[c][j]
@@ -240,9 +290,26 @@ def _chains_backward(
             dh = contrib if dh is None else dh + contrib
             r += 2
             o += 1
-        for layer in range(n_layers - 1, -1, -1):
-            dpre = dh * act_grad(hs[layer + 1])
-            base = layer_base + 2 * layer
+        for layer in range(len(ln_flags) - 1, -1, -1):
+            da = dh * act_grad(hs[layer + 1])
+            base = layer_bases[layer]
+            if ln_flags[layer]:
+                # LayerNorm backward: z -> xhat = (z - mu) * s,
+                # out = xhat * gamma + beta. Per-row feature reductions
+                # run on the VPU lanes.
+                xhat, s = aux[layer]
+                gamma = params[base + 2][:]
+                acc(
+                    dparam_refs[base + 2],
+                    jnp.sum(da * xhat, axis=0, keepdims=True),
+                )
+                acc(dparam_refs[base + 3], jnp.sum(da, axis=0, keepdims=True))
+                dxhat = da * gamma
+                m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+                m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+                dpre = s * (dxhat - m1 - xhat * m2)
+            else:
+                dpre = da
             acc(dparam_refs[base], _dot_t(hs[layer], dpre))
             acc(dparam_refs[base + 1], jnp.sum(dpre, axis=0, keepdims=True))
             if layer > 0 or need_dx:
@@ -253,7 +320,7 @@ def _chains_backward(
 
 
 def _bwd_kernel(sizes, activation, n_params, n_rows, x_ref, *refs):
-    n_douts = sum(nh for _, nh in sizes)
+    n_douts = sum(n_heads for _, n_heads in sizes)
     params = refs[:n_params]
     dout_refs = refs[n_params : n_params + n_douts]
     # Pre-transposed head weights [d_out, H] (transposing tiny matrices
@@ -268,7 +335,7 @@ def _bwd_kernel(sizes, activation, n_params, n_rows, x_ref, *refs):
     x = x_ref[:]
     if valid is not None:
         x = jnp.where(valid, x, 0.0)
-    all_hs, _ = _forward_block(x, params, sizes, activation)
+    all_hs, all_aux, _ = _forward_block(x, params, sizes, activation)
 
     all_douts: list[list[jax.Array]] = []
     o = 0
@@ -283,7 +350,7 @@ def _bwd_kernel(sizes, activation, n_params, n_rows, x_ref, *refs):
         all_douts.append(douts)
 
     dx_ref[:] = _chains_backward(
-        sizes, activation, params, head_wt_refs, all_hs, all_douts,
+        sizes, activation, params, head_wt_refs, all_hs, all_aux, all_douts,
         dparam_refs, _make_acc(), need_dx=True,
     )
 
@@ -398,9 +465,12 @@ def _fused_bwd(activation, interpret, res, douts):
     r = 0
     for layers, heads in chains:
         dlayers = []
-        for w, b in layers:
-            dlayers.append((dflat[r].astype(w.dtype), dflat[r + 1].reshape(b.shape).astype(b.dtype)))
-            r += 2
+        for layer in layers:
+            dlayer = []
+            for p in layer:
+                dlayer.append(dflat[r].reshape(p.shape).astype(p.dtype))
+                r += 1
+            dlayers.append(tuple(dlayer))
         dheads = []
         for w, b in heads:
             dheads.append((dflat[r].astype(w.dtype), dflat[r + 1].reshape(b.shape).astype(b.dtype)))
@@ -467,20 +537,102 @@ def _default_chains(model: Any, params: Any) -> tuple:
     )
 
 
-def supports_fused_apply(model: Any) -> bool:
-    """Whether ``model`` is an exact default model the fused kernels can
-    evaluate (relu/tanh activation, biased dense layers, f32/bf16).
+@dataclass(frozen=True)
+class FusedApplySpec:
+    """A custom model's declaration of its fused-kernel decomposition.
 
-    Models with an explicit compute ``dtype`` (set by ``enable_amp``) are
-    excluded: the kernels run their own fixed precision scheme (bf16
-    matmuls with f32 accumulation and f32 elementwise math), which would
-    silently bypass the requested AMP dtype and diverge numerically from
-    the unfused AMP path.
+    Custom MLP-style models (composite observations assembled into one
+    flat feature vector, then torso-MLP + linear-head chains — e.g. the
+    algotrading ``MischievousMule``) return one of these from
+    ``fused_apply_spec()`` to run their torso/head compute through the
+    :func:`fused_chains` Pallas kernel while keeping the (cheap,
+    model-specific) input assembly and output postprocessing in XLA.
+    The whole composition stays differentiable: ``fused_chains`` is a
+    custom-VJP op that returns ``dx``, which XLA backprops through
+    ``assemble`` (embedding tables and friends get exact gradients).
+
+    Attributes:
+        assemble: ``(params, batch) -> x [N, d]`` — build the shared
+            chain input from the (possibly composite) observation batch.
+            Differentiable w.r.t. ``params``.
+        finalize: ``(batch, outs) -> (features, values)`` — map the
+            per-chain head-output tuples to the model's return contract
+            (reshapes, action masking, ...). Must not need gradients
+            w.r.t. ``params`` except through ``outs``.
+        chain_names: ``((torso_module_name, (head_module_names, ...)),
+            ...)`` naming the flax submodules holding each chain's MLP
+            torso (``Dense_i`` + optional ``LayerNorm_i`` entries) and
+            linear heads.
+    """
+
+    assemble: Any
+    finalize: Any
+    chain_names: tuple[tuple[str, tuple[str, ...]], ...]
+
+
+def _named_chains(params: Any, chain_names: Any) -> tuple:
+    """Build the ``(layers, heads)`` chains pytree from flax params for
+    the named torso/head submodules. A torso layer is ``(W, b)`` or —
+    when the module interleaves ``LayerNorm_i`` (``MLP(layer_norm=True)``)
+    — ``(W, b, ln_scale, ln_bias)``."""
+    chains = []
+    for torso, heads in chain_names:
+        sub = params[torso]
+        layers = []
+        i = 0
+        while f"Dense_{i}" in sub:
+            layer = [sub[f"Dense_{i}"]["kernel"], sub[f"Dense_{i}"]["bias"]]
+            if f"LayerNorm_{i}" in sub:
+                layer.append(sub[f"LayerNorm_{i}"]["scale"])
+                layer.append(sub[f"LayerNorm_{i}"]["bias"])
+            layers.append(tuple(layer))
+            i += 1
+        chains.append(
+            (tuple(layers), tuple(_head(params, h) for h in heads))
+        )
+    return tuple(chains)
+
+
+def _custom_spec(model: Any) -> None | FusedApplySpec:
+    """The model's :class:`FusedApplySpec` when it declares one and the
+    kernels can honor it, else ``None``.
+
+    Models with ``dtype=jnp.bfloat16`` (AMP) are accepted: the kernels'
+    fixed precision scheme — bf16 MXU inputs with f32 accumulation and
+    f32 elementwise math — is at least as precise as flax's
+    bf16-everywhere AMP, so the fused path only tightens numerics
+    (recorded as a deliberate deviation in PARITY.md). Other explicit
+    dtypes are rejected.
+    """
+    get_spec = getattr(model, "fused_apply_spec", None)
+    if get_spec is None:
+        return None
+    spec = get_spec()
+    if spec is None:
+        return None
+    if model.dtype is not None and model.dtype != jnp.bfloat16:
+        return None
+    if getattr(model, "activation_fn", None) not in _ACT_FNS:
+        return None
+    return spec
+
+
+def supports_fused_apply(model: Any) -> bool:
+    """Whether the fused chain kernels can evaluate ``model``'s forward:
+    an exact default model (relu/tanh activation, biased dense layers,
+    f32), or a custom model declaring a :class:`FusedApplySpec`.
+
+    Default models with an explicit compute ``dtype`` (set by
+    ``enable_amp``) are excluded: the kernels run their own fixed
+    precision scheme (bf16 matmuls with f32 accumulation and f32
+    elementwise math), which would silently bypass the requested AMP
+    dtype and diverge numerically from the unfused AMP path. Custom
+    spec models opt into exactly that trade (see :func:`_custom_spec`).
     """
     from ..models import DefaultContinuousModel, DefaultDiscreteModel
 
     if type(model) not in (DefaultContinuousModel, DefaultDiscreteModel):
-        return False
+        return _custom_spec(model) is not None
     if model.dtype is not None:
         return False
     # The fused update path packs observation columns and bitcasts them
@@ -490,6 +642,22 @@ def supports_fused_apply(model: Any) -> bool:
     if not jnp.issubdtype(jnp.dtype(model.observation_spec.dtype), jnp.floating):
         return False
     return bool(model.bias) and model.activation_fn in _ACT_FNS
+
+
+def fused_custom_apply(
+    model: Any, params: Any, batch: Any, *, interpret: bool = False
+) -> tuple[dict[str, jax.Array], jax.Array]:
+    """Drop-in replacement for ``model.apply({"params": params}, batch)``
+    on models declaring a :class:`FusedApplySpec`: XLA assembles the
+    input and postprocesses the heads; the torso/head chains run in one
+    Pallas kernel. Differentiable end to end (including ``assemble``'s
+    params, e.g. embedding tables, via the kernel's ``dx``)."""
+    spec = _custom_spec(model)
+    assert spec is not None, f"{type(model).__name__} has no fused apply spec"
+    x = spec.assemble(params, batch)
+    chains = _named_chains(params, spec.chain_names)
+    outs = fused_chains(model.activation_fn, interpret, x, chains)
+    return spec.finalize(batch, outs)
 
 
 def fused_default_apply(

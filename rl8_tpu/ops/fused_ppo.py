@@ -171,7 +171,7 @@ def _discrete_kernel(
         ret = jnp.where(valid, ret, 0.0)
         actions = jnp.where(valid, actions, 0)
 
-    all_hs, all_outs = _forward_block(x, params, sizes, activation)
+    all_hs, all_aux, all_outs = _forward_block(x, params, sizes, activation)
     logits = all_outs[0][0]  # [tile, A * n]
     values = all_outs[1][0]  # [tile, 1]
 
@@ -223,7 +223,7 @@ def _discrete_kernel(
     dlogits = dz_groups[0] if n_groups == 1 else jnp.concatenate(dz_groups, axis=1)
 
     _chains_backward(
-        sizes, activation, params, head_wt_refs, all_hs,
+        sizes, activation, params, head_wt_refs, all_hs, all_aux,
         [[dlogits], [dv]], dparam_refs, acc, need_dx=False,
     )
 
@@ -284,7 +284,7 @@ def _continuous_kernel(
         adv = jnp.where(valid, adv, 0.0)
         ret = jnp.where(valid, ret, 0.0)
 
-    all_hs, all_outs = _forward_block(x, params, sizes, activation)
+    all_hs, all_aux, all_outs = _forward_block(x, params, sizes, activation)
     mean, pre_log_std = all_outs[0]
     values = all_outs[1][0]
     log_std = jnp.tanh(pre_log_std)
@@ -336,7 +336,7 @@ def _continuous_kernel(
         dpre_log_std = jnp.where(valid, dpre_log_std, 0.0)
 
     _chains_backward(
-        sizes, activation, params, head_wt_refs, all_hs,
+        sizes, activation, params, head_wt_refs, all_hs, all_aux,
         [[dmean, dpre_log_std], [dv]], dparam_refs, acc, need_dx=False,
     )
 

@@ -645,3 +645,157 @@ def test_fused_act_stochastic_paths_trace() -> None:
         jnp.zeros((16, 4)),
         states,
     )
+
+
+# ----------------------------------------------------------------------
+# LayerNorm chains + custom-model fused apply (interpret mode)
+# ----------------------------------------------------------------------
+
+
+def test_fused_chains_layer_norm_exact_on_f32_path() -> None:
+    """LayerNorm layers in `fused_chains` match flax's
+    `MLP(layer_norm=True)` + trailing activation EXACTLY (f32) when all
+    matmul dims take the VPU f32 path — isolates the LN forward/backward
+    math from bf16 matmul rounding."""
+    import flax.linen as nn
+
+    from rl8_tpu.nn import MLP
+    from rl8_tpu.ops.fused_mlp import fused_chains
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = jax.nn.relu(MLP((5, 5), layer_norm=True, name="torso")(x))
+            return nn.Dense(3, name="head")(h)
+
+    x = jax.random.normal(jax.random.key(1), (32, 4), jnp.float32)
+    ref = Ref()
+    params = ref.init(jax.random.key(0), x)["params"]
+
+    def chains_from(p):
+        sub = p["torso"]
+        return (
+            (
+                (
+                    (sub["Dense_0"]["kernel"], sub["Dense_0"]["bias"],
+                     sub["LayerNorm_0"]["scale"], sub["LayerNorm_0"]["bias"]),
+                    (sub["Dense_1"]["kernel"], sub["Dense_1"]["bias"]),
+                ),
+                ((p["head"]["kernel"], p["head"]["bias"]),),
+            ),
+        )
+
+    out_ref = ref.apply({"params": params}, x)
+    ((out_fused,),) = fused_chains("relu", True, x, chains_from(params))
+    np.testing.assert_allclose(out_ref, out_fused, atol=5e-6)
+
+    def loss_ref(p, x):
+        return jnp.sum(jnp.sin(ref.apply({"params": p}, x)))
+
+    def loss_fused(p, x):
+        ((o,),) = fused_chains("relu", True, x, chains_from(p))
+        return jnp.sum(jnp.sin(o))
+
+    g_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g_fused, gx_fused = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5), g_ref, g_fused
+    )
+    np.testing.assert_allclose(gx_ref, gx_fused, atol=2e-5)
+
+
+def _mule_batch(B: int = 48, L: int = 4) -> dict:
+    from rl8_tpu.data import DataKeys
+
+    return {
+        DataKeys.OBS: {
+            "action_mask": jnp.ones((B, 3), jnp.int32).at[: B // 2, 1].set(0),
+            "invested": jax.random.randint(jax.random.key(2), (B, 1), 0, 2),
+            "LOG_CHANGE(price)": {
+                DataKeys.INPUTS: jax.random.normal(
+                    jax.random.key(3), (B, L + 1, 1)
+                ),
+                DataKeys.PADDING_MASK: jnp.zeros((B, L + 1), bool),
+            },
+            "LOG_CHANGE(price, position)": jax.random.normal(
+                jax.random.key(4), (B, 1)
+            ),
+        }
+    }
+
+
+def _mule(hiddens=(32, 32), **kw):
+    from examples.algotrading.models import MischievousMule
+    from rl8_tpu.specs import Composite, Discrete, Unbounded
+
+    obs_spec = Composite(
+        {
+            "action_mask": Discrete(2, shape=(3,), dtype=jnp.int32),
+            "invested": Discrete(2, shape=(1,), dtype=jnp.int32),
+            "LOG_CHANGE(price)": Unbounded(1),
+            "LOG_CHANGE(price, position)": Unbounded(1),
+        }
+    )
+    return MischievousMule(obs_spec, Discrete(3, shape=(1,)), hiddens=hiddens, **kw)
+
+
+@pytest.mark.slow
+def test_fused_custom_apply_matches_flax_mule() -> None:
+    """`fused_custom_apply` on the algotrading MischievousMule (composite
+    obs assembly + embedding in XLA, LayerNorm-MLP chains in the kernel,
+    action masking in finalize) equals the flax apply to matmul
+    precision — forward AND gradients, including the embedding table's
+    gradient through the kernel's dx."""
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.ops.fused_mlp import fused_custom_apply, supports_fused_apply
+
+    model = _mule()
+    assert supports_fused_apply(model)
+    batch = _mule_batch()
+    params = model.init(jax.random.key(0), batch)["params"]
+
+    f_ref, v_ref = model.apply({"params": params}, batch)
+    f_fused, v_fused = fused_custom_apply(model, params, batch, interpret=True)
+    # Masked entries are FMIN-clipped in BOTH (finalize adds the model's
+    # own -inf mask).
+    assert bool(jnp.all(f_fused["logits"][: 48 // 2, :, 1] < -1e37))
+    assert bool(jnp.all(f_ref["logits"][: 48 // 2, :, 1] < -1e37))
+    valid = f_ref["logits"] > -1e37
+    _rel_close(
+        jnp.where(valid, f_ref["logits"], 0.0),
+        jnp.where(valid, f_fused["logits"], 0.0),
+        2e-2,
+    )
+    _rel_close(v_ref, v_fused, 2e-2)
+
+    def loss(p, fused):
+        if fused:
+            f, v = fused_custom_apply(model, p, batch, interpret=True)
+        else:
+            f, v = model.apply({"params": p}, batch)
+        lg = jnp.where(f["logits"] > -1e37, f["logits"], 0.0)
+        return jnp.mean(jnp.sin(lg)) + jnp.mean(v * v)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fused = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree_util.tree_map(lambda a, b: _norm_close(a, b, 8e-2), g_ref, g_fused)
+
+
+def test_supports_fused_apply_classification() -> None:
+    """Spec-declaring custom models are fused-apply capable — including
+    the bf16 AMP opt-in — while arbitrary customs and non-bf16 dtypes
+    are not."""
+    from rl8_tpu.models import GenericModel
+    from rl8_tpu.ops.fused_mlp import supports_fused_apply
+
+    assert supports_fused_apply(_mule())
+    assert supports_fused_apply(_mule(dtype=jnp.bfloat16))
+    assert not supports_fused_apply(_mule(dtype=jnp.float16))
+
+    class NoSpec(GenericModel):
+        def __call__(self, batch):
+            raise NotImplementedError
+
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    assert not supports_fused_apply(NoSpec(Unbounded(3), Discrete(2, shape=(1,))))
