@@ -54,7 +54,14 @@ def _algotrading_config(
             model_cls=AttentiveAlpaca, fused_forward=fused_forward, **common
         )
     if model == "lemur":
-        return RecurrentAlgorithmConfig(model_cls=LazyLemur, **common)
+        # seq_len * seqs_per_state_reset must divide the horizon.
+        return RecurrentAlgorithmConfig(
+            model_cls=LazyLemur,
+            seq_len=4,
+            seqs_per_state_reset=2,
+            fused_forward=fused_forward,
+            **common,
+        )
     raise ValueError(f"unknown algotrading model {model!r}")
 
 

@@ -95,3 +95,60 @@ class LazyLemur(GenericRecurrentModel):
             DataKeys.CELL_STATES: c_n.astype(jnp.float32),
         }
         return ({"logits": logits + inf_mask}, values.astype(jnp.float32)), new_states
+
+    def fused_apply_spec(self) -> Any:
+        """Fused-kernel decomposition (``rl8_tpu/ops/fused_mlp.py``): the
+        embedding + stacked-LSTM scan stay in XLA (state threading is
+        serial over time; the same flax submodule is re-applied so that
+        part is numerically identical), while the twin post-LSTM
+        LayerNorm-MLP/head chains run in one Pallas kernel. BPTT
+        gradients flow into the LSTM through the kernel's ``dx``."""
+        from rl8_tpu.ops.fused_mlp import FusedRecurrentApplySpec
+
+        def assemble(params: Any, batch: Any, states: Any) -> tuple[jax.Array, Any]:
+            obs = batch[DataKeys.OBS]
+            B, T = obs["invested"].shape[:2]
+            emb = params["invested_embedding"]["embedding"]
+            x_invested = jnp.take(
+                emb, obs["invested"].reshape(-1), axis=0
+            ).reshape(B, T, -1)
+            x = jnp.concatenate(
+                [
+                    x_invested,
+                    obs["LOG_CHANGE(price, position)"],
+                    obs["LOG_CHANGE(price)"],
+                ],
+                axis=-1,
+            )
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            latents, h_n, c_n = _StackedLSTM(
+                self.hidden_size, self.num_layers, dtype=self.dtype
+            ).apply(
+                {"params": params["lstm"]},
+                x,
+                states[DataKeys.HIDDEN_STATES],
+                states[DataKeys.CELL_STATES],
+            )
+            new_states = {
+                DataKeys.HIDDEN_STATES: h_n.astype(jnp.float32),
+                DataKeys.CELL_STATES: c_n.astype(jnp.float32),
+            }
+            return latents.reshape(B * T, -1), new_states
+
+        def finalize(batch: Any, outs: Any) -> tuple[dict, jax.Array]:
+            (logits,), (values,) = outs
+            obs = batch[DataKeys.OBS]
+            inf_mask = jnp.clip(
+                jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
+            ).reshape(-1, 1, 3)
+            return {"logits": logits.reshape(-1, 1, 3) + inf_mask}, values
+
+        return FusedRecurrentApplySpec(
+            assemble=assemble,
+            finalize=finalize,
+            chain_names=(
+                ("feature_model", ("feature_head",)),
+                ("vf_model", ("vf_head",)),
+            ),
+        )

@@ -104,3 +104,59 @@ class AttentiveAlpaca(GenericModel):
         )
         values = nn.Dense(1, dtype=self.dtype, name="vf_head")(vf_latents)
         return {"logits": logits + inf_mask}, values.astype(jnp.float32)
+
+    def fused_apply_spec(self) -> Any:
+        """Fused-kernel decomposition (``rl8_tpu/ops/fused_mlp.py``): the
+        embedding + self-attention + masked-average pooling run in XLA
+        (re-applying the same flax submodules, so that part is
+        numerically identical to the plain forward), while the twin
+        LayerNorm-MLP/head chains run in one Pallas kernel. Gradients
+        flow back into the attention stack through the kernel's ``dx``."""
+        from rl8_tpu.ops.fused_mlp import FusedApplySpec
+
+        def assemble(params: Any, batch: Any) -> jax.Array:
+            obs = batch[DataKeys.OBS]
+            x_invested = nn.Embed(2, self.invested_embed_dim).apply(
+                {"params": params["invested_embedding"]},
+                obs["invested"].reshape(-1),
+            )
+            padding_mask = obs["LOG_CHANGE(price)"][DataKeys.PADDING_MASK]
+            x_price = nn.Dense(self.price_embed_dim, dtype=self.dtype).apply(
+                {"params": params["price_embedding"]},
+                obs["LOG_CHANGE(price)"][DataKeys.INPUTS],
+            )
+            x_price = SelfAttentionStack(
+                embed_dim=self.price_embed_dim,
+                num_layers=self.num_layers,
+                num_heads=self.num_heads,
+                hidden_dim=self.hiddens[0],
+                activation_fn=self.activation_fn,
+                skip_kind="residual",
+                share_parameters=True,
+                dtype=self.dtype,
+            ).apply({"params": params["price_attention"]}, x_price, padding_mask)
+            x_price = masked_avg(x_price, mask=~padding_mask, dim=1, keepdim=False)
+            x = jnp.concatenate(
+                [x_invested, obs["LOG_CHANGE(price, position)"], x_price],
+                axis=-1,
+            )
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            return x
+
+        def finalize(batch: Any, outs: Any) -> tuple[dict, jax.Array]:
+            (logits,), (values,) = outs
+            obs = batch[DataKeys.OBS]
+            inf_mask = jnp.clip(
+                jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
+            ).reshape(-1, 1, 3)
+            return {"logits": logits.reshape(-1, 1, 3) + inf_mask}, values
+
+        return FusedApplySpec(
+            assemble=assemble,
+            finalize=finalize,
+            chain_names=(
+                ("feature_model", ("feature_head",)),
+                ("vf_model", ("vf_head",)),
+            ),
+        )

@@ -331,15 +331,18 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         # falls back to the XLA implementations.
         on_tpu = jax.local_devices()[0].platform == "tpu"
         self._use_pallas_gae = on_tpu and not sharded_exact
-        from ..ops.fused_mlp import supports_fused_apply
+        from ..ops.fused_mlp import model_fits_vmem, supports_fused_apply
         from ..ops.fused_ppo import supports_fused_update
 
+        # The fused kernels hold the full parameter set (and its gradient
+        # accumulators) VMEM-resident; very wide models fall back to the
+        # XLA autodiff path instead of failing Mosaic allocation.
+        fused_fits = supports_fused_apply(self.policy.model) and model_fits_vmem(
+            self.policy.model, self.state.params
+        )
         #: Fused Pallas model forward/backward (see ``ops/fused_mlp.py``).
         self._fused_forward = (
-            config.fused_forward
-            and not sharded_exact
-            and on_tpu
-            and supports_fused_apply(self.policy.model)
+            config.fused_forward and not sharded_exact and on_tpu and fused_fits
         )
         #: Fully-fused PPO update kernel (see ``ops/fused_ppo.py``):
         #: forward + losses + backward in one Pallas kernel per minibatch.
@@ -348,10 +351,13 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         #: Whether the action distribution squashes through tanh (the
         #: fused kernels need the logp/sampling variant).
         self._squashed_dist = self.policy.distribution_cls is SquashedNormal
-        fused_update_ok = supports_fused_update(
-            self.policy.model,
-            self.policy.distribution_cls,
-            zero_entropy=self._static_zero_entropy,
+        fused_update_ok = (
+            supports_fused_update(
+                self.policy.model,
+                self.policy.distribution_cls,
+                zero_entropy=self._static_zero_entropy,
+            )
+            and fused_fits
         )
         self._fused_update = (
             config.fused_update and not sharded_exact and on_tpu and fused_update_ok

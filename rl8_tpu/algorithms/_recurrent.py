@@ -84,6 +84,13 @@ class RecurrentAlgorithmConfig:
     #: Run the optimizer over a single flattened parameter vector; see
     #: :class:`rl8_tpu.algorithms.AlgorithmConfig`.
     flatten_optimizer: bool = True
+    #: Run custom recurrent models declaring a ``FusedRecurrentApplySpec``
+    #: through the fused Pallas chain kernels (RNN front half in XLA,
+    #: post-RNN torso/head chains in one kernel; see ``ops/fused_mlp.py``).
+    #: Auto-disabled on CPU, in GSPMD exact-sharding mode, for models
+    #: without a spec, and for models whose chains exceed the kernels'
+    #: VMEM budget.
+    fused_forward: bool = False
     #: Compute each minibatch's losses AND parameter gradients with ONE
     #: fused Pallas kernel (LSTM BPTT + heads + PPO losses in VMEM; see
     #: ``ops/fused_rnn_ppo.py``; stacked LSTMs fuse up to 8 layers).
@@ -266,6 +273,32 @@ class RecurrentAlgorithm(
         self._fused_act = (
             config.fused_act and not sharded_exact and on_tpu and fused_ok
         )
+        from ..ops.fused_mlp import model_fits_vmem, supports_fused_recurrent_apply
+
+        #: Fused chain kernels for custom recurrent models declaring a
+        #: ``FusedRecurrentApplySpec`` (see ``ops/fused_mlp.py``).
+        self._fused_forward = (
+            config.fused_forward
+            and not sharded_exact
+            and on_tpu
+            and supports_fused_recurrent_apply(self.policy.model)
+            and model_fits_vmem(self.policy.model, self.state.params)
+        )
+
+    def _apply_model(
+        self, params: Any, batch: Any, states: Any
+    ) -> tuple[tuple[dict[str, jax.Array], jax.Array], Any]:
+        """Model forward: the fused chain kernels for custom models
+        declaring a ``FusedRecurrentApplySpec``, the flax module
+        otherwise. (Default recurrent models use the fully-fused
+        LSTM+PPO kernels gated above instead.)"""
+        if self._fused_forward:
+            from ..ops.fused_mlp import fused_recurrent_custom_apply
+
+            return fused_recurrent_custom_apply(
+                self.policy.model, params, batch, states
+            )
+        return self.policy.model.apply({"params": params}, batch, states)
 
     def _zero_buffer(self) -> dict[str, Any]:
         """Time-major buffer; adds per-step recurrent states
@@ -367,8 +400,8 @@ class RecurrentAlgorithm(
                         lambda o: o[:, None], obs
                     )
                 }
-                (features, values), new_states = model.apply(
-                    {"params": state.params}, in_batch, states
+                (features, values), new_states = self._apply_model(
+                    state.params, in_batch, states
                 )
                 dist = dist_cls(features, model)
                 if deterministic:
@@ -397,8 +430,8 @@ class RecurrentAlgorithm(
                 lambda o: o[-1][:, None], obs_rest
             )
         }
-        (_, v_last), _ = model.apply(
-            {"params": state.params}, in_batch, final_states
+        (_, v_last), _ = self._apply_model(
+            state.params, in_batch, final_states
         )
 
         obs_full = jax.tree_util.tree_map(
@@ -586,8 +619,8 @@ class RecurrentAlgorithm(
         }
 
         def _loss_fn(params: Any, mb: dict[str, Any]) -> tuple[jax.Array, Any]:
-            (features, values), _ = model.apply(
-                {"params": params},
+            (features, values), _ = self._apply_model(
+                params,
                 {DataKeys.OBS: mb[DataKeys.OBS]},
                 mb[DataKeys.STATES],
             )

@@ -68,6 +68,19 @@ class RecurrentModel(GenericModelBase):
         (``models/_recurrent.py:104-120``)."""
         return self.state_spec.zero((n,))
 
+    def fused_apply_spec(self) -> Any:
+        """Optional fused-kernel decomposition for custom recurrent
+        models (see
+        :class:`rl8_tpu.ops.fused_mlp.FusedRecurrentApplySpec`).
+
+        Return a ``FusedRecurrentApplySpec`` to run this model's
+        post-RNN torso/head chains through the fused Pallas kernels on
+        TPU (the RNN front half and output postprocessing stay in XLA,
+        differentiably). The default ``None`` keeps the plain flax
+        apply path.
+        """
+        return None
+
     def __call__(
         self, batch: Any, states: Any
     ) -> tuple[tuple[dict[str, jax.Array], jax.Array], Any]:

@@ -146,7 +146,9 @@ def fused_act(
         action_dtype = jnp.float32
 
     b = obs.shape[0]
-    tile = _row_tile(b)
+    from .fused_mlp import _chain_mem
+
+    tile = _row_tile(b, 2 * _chain_mem(chains)[1])
     grid = (pl.cdiv(b, tile),)
     # Feed the full JAX key material to the hardware PRNG (both 32-bit
     # words — a single word would collide by birthday bound over long

@@ -35,8 +35,11 @@ __all__ = [
     "fused_chains",
     "fused_default_apply",
     "fused_custom_apply",
+    "fused_recurrent_custom_apply",
     "supports_fused_apply",
+    "supports_fused_recurrent_apply",
     "FusedApplySpec",
+    "FusedRecurrentApplySpec",
 ]
 
 # Activations with derivatives expressible from the *post*-activation
@@ -54,12 +57,74 @@ _ACT_GRAD_FROM_OUT = {
 
 
 
-def _row_tile(n: int) -> int:
+#: Per-grid-step budget for row-tiled VMEM buffers (activations, aux,
+#: cotangents). Deliberately well under the ~128MB physical VMEM: the
+#: resident parameter/accumulator arrays and Pallas' double-buffering of
+#: grid-blocked operands share the same space.
+_ROW_BYTES_BUDGET = 48 * 1024 * 1024
+#: Ceiling on the VMEM-resident fixed footprint (params + gradient
+#: accumulators); chains above it must fall back to the XLA path.
+_FIXED_BYTES_LIMIT = 80 * 1024 * 1024
+
+
+def _row_tile(n: int, row_f32s: int | None = None) -> int:
     """Row-tile size: big enough to amortize grid steps, small enough to
-    keep activations VMEM-resident."""
-    if n <= 4096:
+    keep activations VMEM-resident.
+
+    ``row_f32s`` — the per-row f32 count of live row-tiled buffers (see
+    :func:`_chain_mem`) — shrinks the tile for wide models so the
+    activation working set stays inside :data:`_ROW_BYTES_BUDGET`. The
+    small-model regime (``row_f32s`` under ~2000) keeps the 4096-row
+    tile that the tracked configs were tuned at."""
+    cap = 4096
+    if row_f32s is not None:
+        cap = max(8, min(cap, _ROW_BYTES_BUDGET // (4 * row_f32s) // 8 * 8))
+    if n <= cap:
         return -(-n // 8) * 8  # round up to the f32 sublane count
-    return 4096
+    return cap
+
+
+def _chain_mem(chains: Any) -> tuple[int, int]:
+    """VMEM footprint model for :func:`fused_chains`'s backward (the
+    bigger of the two kernels): ``(fixed_bytes, row_f32s)``.
+
+    ``fixed_bytes`` counts the grid-invariant residents — parameters plus
+    their gradient accumulators plus the pre-transposed head weights.
+    ``row_f32s`` counts per-row f32s of the row-tiled live set: the input
+    and its cotangent, each chain's recomputed activation stack, the
+    LayerNorm ``(xhat, s)`` aux, the head cotangents, and a few
+    ``dh``-sized transients.
+    """
+    fixed = 0
+    row = 0
+    d_in = None
+    for layers, heads in chains:
+        widths = []
+        for layer in layers:
+            w = layer[0]
+            if d_in is None:
+                d_in = w.shape[0]
+            widths.append(w.shape[1])
+            fixed += sum(int(p.size) * 8 for p in layer)  # param + dparam
+        for w, b in heads:
+            if d_in is None:
+                d_in = w.shape[0]
+            fixed += (int(w.size) + int(b.size)) * 8 + int(w.size) * 4  # + w.T
+            row += w.shape[1]  # dout cotangent
+        row += d_in + sum(widths)  # activation stack hs
+        row += sum(wd + 1 for wd, ln in zip(widths, layers) if len(ln) == 4)
+        row += 3 * max(widths, default=d_in)  # dh/da/dpre transients
+    row += 2 * (d_in or 1)  # x block + dx block
+    return fixed, row
+
+
+def chains_fit_vmem(chains: Any) -> bool:
+    """Whether :func:`fused_chains` can run these chains on hardware —
+    the resident parameter set must leave row-tile headroom. Callers use
+    this to fall back to the XLA implementation for very wide models
+    (e.g. ≥2048-wide twin torsos) instead of failing Mosaic allocation."""
+    fixed, row = _chain_mem(chains)
+    return fixed + 4 * row * 8 <= _FIXED_BYTES_LIMIT
 
 
 def _bf(x: jax.Array) -> jax.Array:
@@ -361,7 +426,7 @@ def _call_fwd(
     sizes = _chain_sizes(chains)
     flat = _flatten_params(chains)
     n = x.shape[0]
-    tile = _row_tile(n)
+    tile = _row_tile(n, _chain_mem(chains)[1])
     grid = (pl.cdiv(n, tile),)
     out_shapes = []
     for layers, heads in chains:
@@ -384,6 +449,9 @@ def _call_fwd(
         ],
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(x, *flat)
     # Regroup flat outputs per chain.
     grouped: list[tuple[jax.Array, ...]] = []
@@ -426,7 +494,7 @@ def _fused_bwd(activation, interpret, res, douts):
     # output dim is below the MXU contraction minimum).
     flat_head_wts = [w.T for _, heads in chains for w, _ in heads]
     n = x.shape[0]
-    tile = _row_tile(n)
+    tile = _row_tile(n, _chain_mem(chains)[1])
     grid = (pl.cdiv(n, tile),)
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat]
     out_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32), *dparam_shapes]
@@ -457,6 +525,9 @@ def _fused_bwd(activation, interpret, res, douts):
         ],
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(x, *flat, *flat_douts, *flat_head_wts)
     dx = outs[0].astype(x.dtype)
     dflat = outs[1:]
@@ -570,6 +641,30 @@ class FusedApplySpec:
     chain_names: tuple[tuple[str, tuple[str, ...]], ...]
 
 
+@dataclass(frozen=True)
+class FusedRecurrentApplySpec:
+    """Recurrent counterpart of :class:`FusedApplySpec`.
+
+    The sequence-dependent part of the model (embedding + RNN cell scan,
+    which threads state and is inherently serial over time) stays in
+    XLA; the per-row torso/head chains on the RNN outputs run through
+    :func:`fused_chains`. Gradients flow back into the RNN through the
+    kernel's ``dx``.
+
+    Attributes:
+        assemble: ``(params, batch, states) -> (x [B*T, d], new_states)``
+            — run the recurrent front half and return the flattened
+            per-timestep latents plus the updated state pytree.
+        finalize: ``(batch, outs) -> (features, values)`` — as in
+            :class:`FusedApplySpec`.
+        chain_names: as in :class:`FusedApplySpec`.
+    """
+
+    assemble: Any
+    finalize: Any
+    chain_names: tuple[tuple[str, tuple[str, ...]], ...]
+
+
 def _named_chains(params: Any, chain_names: Any) -> tuple:
     """Build the ``(layers, heads)`` chains pytree from flax params for
     the named torso/head submodules. A torso layer is ``(W, b)`` or —
@@ -593,7 +688,7 @@ def _named_chains(params: Any, chain_names: Any) -> tuple:
     return tuple(chains)
 
 
-def _custom_spec(model: Any) -> None | FusedApplySpec:
+def _custom_spec(model: Any, cls: type = FusedApplySpec) -> Any:
     """The model's :class:`FusedApplySpec` when it declares one and the
     kernels can honor it, else ``None``.
 
@@ -608,7 +703,7 @@ def _custom_spec(model: Any) -> None | FusedApplySpec:
     if get_spec is None:
         return None
     spec = get_spec()
-    if spec is None:
+    if spec is None or not isinstance(spec, cls):
         return None
     if model.dtype is not None and model.dtype != jnp.bfloat16:
         return None
@@ -644,6 +739,24 @@ def supports_fused_apply(model: Any) -> bool:
     return bool(model.bias) and model.activation_fn in _ACT_FNS
 
 
+def model_fits_vmem(model: Any, params: Any) -> bool:
+    """Whether ``model``'s fused chains fit the kernels' VMEM budget
+    (see :func:`chains_fit_vmem`). Algorithms AND this into their fused
+    gates at construction — very wide models (≥2048-wide twin torsos)
+    train through the XLA autodiff path instead of failing Mosaic
+    allocation mid-step. ``params`` is the model's flax param tree."""
+    from ..models import DefaultContinuousModel, DefaultDiscreteModel
+
+    if type(model) in (DefaultDiscreteModel, DefaultContinuousModel):
+        chains = _default_chains(model, params)
+    else:
+        spec = _custom_spec(model) or _custom_spec(model, FusedRecurrentApplySpec)
+        if spec is None:
+            return False
+        chains = _named_chains(params, spec.chain_names)
+    return chains_fit_vmem(chains)
+
+
 def fused_custom_apply(
     model: Any, params: Any, batch: Any, *, interpret: bool = False
 ) -> tuple[dict[str, jax.Array], jax.Array]:
@@ -658,6 +771,33 @@ def fused_custom_apply(
     chains = _named_chains(params, spec.chain_names)
     outs = fused_chains(model.activation_fn, interpret, x, chains)
     return spec.finalize(batch, outs)
+
+
+def supports_fused_recurrent_apply(model: Any) -> bool:
+    """Whether ``model`` declares a :class:`FusedRecurrentApplySpec` the
+    chain kernels can honor (same dtype/activation rules as
+    :func:`_custom_spec`)."""
+    return _custom_spec(model, FusedRecurrentApplySpec) is not None
+
+
+def fused_recurrent_custom_apply(
+    model: Any, params: Any, batch: Any, states: Any, *, interpret: bool = False
+) -> tuple[tuple[dict[str, jax.Array], jax.Array], Any]:
+    """Drop-in replacement for
+    ``model.apply({"params": params}, batch, states)`` on recurrent
+    models declaring a :class:`FusedRecurrentApplySpec`: XLA runs the
+    RNN front half (state threading is serial over time and stays
+    outside the kernel); the per-row torso/head chains run in one Pallas
+    kernel. Differentiable end to end, including BPTT through the RNN
+    via the kernel's ``dx``."""
+    spec = _custom_spec(model, FusedRecurrentApplySpec)
+    assert spec is not None, (
+        f"{type(model).__name__} has no fused recurrent apply spec"
+    )
+    x, new_states = spec.assemble(params, batch, states)
+    chains = _named_chains(params, spec.chain_names)
+    outs = fused_chains(model.activation_fn, interpret, x, chains)
+    return spec.finalize(batch, outs), new_states
 
 
 def fused_default_apply(

@@ -799,3 +799,291 @@ def test_supports_fused_apply_classification() -> None:
     from rl8_tpu.specs import Discrete, Unbounded
 
     assert not supports_fused_apply(NoSpec(Unbounded(3), Discrete(2, shape=(1,))))
+
+
+# ----------------------------------------------------------------------
+# VMEM-aware tiling and the wide-model fallback gate
+# ----------------------------------------------------------------------
+
+
+def _fake_chains(d_in: int, width: int, n_layers: int = 2):
+    """Twin torso/head chains of a given width (shape-only params)."""
+    chains = []
+    for _ in range(2):
+        layers = []
+        d = d_in
+        for _ in range(n_layers):
+            layers.append((jnp.zeros((d, width)), jnp.zeros((width,))))
+            d = width
+        chains.append((tuple(layers), ((jnp.zeros((width, 3)), jnp.zeros((3,))),)))
+    return tuple(chains)
+
+
+def test_row_tile_shrinks_with_width() -> None:
+    """Wide chains shrink the row tile to keep the activation working set
+    inside the VMEM budget; the small-model regime keeps the 4096 tile."""
+    from rl8_tpu.ops.fused_mlp import _chain_mem, _row_tile
+
+    small = _chain_mem(_fake_chains(4, 256))[1]
+    wide = _chain_mem(_fake_chains(4, 1024))[1]
+    assert _row_tile(1 << 20, small) == 4096
+    t = _row_tile(1 << 20, wide)
+    assert 8 <= t < 4096 and t % 8 == 0
+    # The chosen tile actually respects the budget.
+    assert 4 * wide * t <= 48 * 1024 * 1024
+
+
+def test_chains_fit_vmem_rejects_huge_models() -> None:
+    """≤1024-wide twin torsos fit; 4096-wide (≈270MB params+grads) must
+    fall back to the XLA path."""
+    from rl8_tpu.ops.fused_mlp import chains_fit_vmem
+
+    assert chains_fit_vmem(_fake_chains(4, 256))
+    assert chains_fit_vmem(_fake_chains(4, 1024))
+    assert not chains_fit_vmem(_fake_chains(4, 4096))
+
+
+def test_model_fits_vmem_default_and_custom() -> None:
+    """The init-time gate sees real flax param trees for both default
+    models and FusedApplySpec customs."""
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.models import DefaultDiscreteModel
+    from rl8_tpu.ops.fused_mlp import model_fits_vmem
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    obs = jnp.zeros((4, 3))
+    small = DefaultDiscreteModel(Unbounded(3), Discrete(2, shape=(1,)))
+    p = small.init(jax.random.key(0), {DataKeys.OBS: obs})["params"]
+    assert model_fits_vmem(small, p)
+
+    huge = DefaultDiscreteModel(
+        Unbounded(3), Discrete(2, shape=(1,)), hiddens=(4096, 4096)
+    )
+    p = huge.init(jax.random.key(0), {DataKeys.OBS: obs})["params"]
+    assert not model_fits_vmem(huge, p)
+
+    mule = _mule()
+    batch = _mule_batch()
+    p = mule.init(jax.random.key(0), batch)["params"]
+    assert model_fits_vmem(mule, p)
+
+
+@pytest.mark.slow
+def test_fused_chains_wide_torso_interpret() -> None:
+    """A 512-wide LayerNorm chain (shrunken tile regime) still matches
+    the XLA forward/backward in interpret mode."""
+    from rl8_tpu.ops.fused_mlp import fused_chains
+
+    k = jax.random.key(7)
+    ks = jax.random.split(k, 6)
+    d_in, w = 24, 512
+    x = jax.random.normal(ks[0], (64, d_in), jnp.float32)
+    chains = (
+        (
+            (
+                (
+                    jax.random.normal(ks[1], (d_in, w)) / 8,
+                    jnp.zeros((w,)),
+                    jnp.ones((w,)),
+                    jnp.zeros((w,)),
+                ),
+            ),
+            ((jax.random.normal(ks[2], (w, 3)) / 32, jnp.zeros((3,))),),
+        ),
+    )
+
+    def ref(x, chains):
+        ((layer,), ((hw, hb),)) = (chains[0][0], chains[0][1])
+        wt, b, g, be = layer
+        z = x @ wt + b
+        mu = jnp.mean(z, axis=1, keepdims=True)
+        var = jnp.mean(z * z, axis=1, keepdims=True) - mu * mu
+        zn = (z - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        h = jax.nn.relu(zn)
+        return h @ hw + hb
+
+    # The 512-wide contraction runs on the MXU in bf16 (f32 accumulate),
+    # so compare at matmul precision, not f32-exactly.
+    out_ref = ref(x, chains)
+    ((out_fused,),) = fused_chains("relu", True, x, chains)
+    _rel_close(out_ref, out_fused, 2e-2)
+
+    g_ref = jax.grad(lambda c: jnp.sum(jnp.tanh(ref(x, c))))(chains)
+    g_fused = jax.grad(
+        lambda c: jnp.sum(jnp.tanh(fused_chains("relu", True, x, c)[0][0]))
+    )(chains)
+    jax.tree_util.tree_map(lambda a, b: _norm_close(a, b, 8e-2), g_ref, g_fused)
+
+
+@pytest.mark.slow
+def test_fused_custom_apply_matches_flax_alpaca() -> None:
+    """`fused_custom_apply` on AttentiveAlpaca — embedding + attention +
+    pooling re-applied in XLA, twin LayerNorm-MLP chains in the kernel —
+    equals the flax apply to matmul precision, forward and gradients
+    (including the attention stack's params through the kernel's dx)."""
+    from examples.algotrading.models import AttentiveAlpaca
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.ops.fused_mlp import fused_custom_apply, supports_fused_apply
+    from rl8_tpu.specs import Composite, Discrete, Unbounded
+
+    obs_spec = Composite(
+        {
+            "action_mask": Discrete(2, shape=(3,), dtype=jnp.int32),
+            "invested": Discrete(2, shape=(1,), dtype=jnp.int32),
+            "LOG_CHANGE(price)": Unbounded(1),
+            "LOG_CHANGE(price, position)": Unbounded(1),
+        }
+    )
+    model = AttentiveAlpaca(
+        obs_spec, Discrete(3, shape=(1,)), hiddens=(32, 32), num_layers=1
+    )
+    assert supports_fused_apply(model)
+    batch = _mule_batch()
+    params = model.init(jax.random.key(0), batch)["params"]
+
+    f_ref, v_ref = model.apply({"params": params}, batch)
+    f_fused, v_fused = fused_custom_apply(model, params, batch, interpret=True)
+    valid = f_ref["logits"] > -1e37
+    _rel_close(
+        jnp.where(valid, f_ref["logits"], 0.0),
+        jnp.where(valid, f_fused["logits"], 0.0),
+        2e-2,
+    )
+    _rel_close(v_ref, v_fused, 2e-2)
+
+    def loss(p, fused):
+        if fused:
+            f, v = fused_custom_apply(model, p, batch, interpret=True)
+        else:
+            f, v = model.apply({"params": p}, batch)
+        lg = jnp.where(f["logits"] > -1e37, f["logits"], 0.0)
+        return jnp.mean(jnp.sin(lg)) + jnp.mean(v * v)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fused = jax.grad(lambda p: loss(p, True))(params)
+
+    def close(a, b):
+        # Floor the denominator: the attention key bias cancels in
+        # softmax, so its true gradient is ~0 and a pure relative check
+        # would divide by rounding noise.
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-6)
+        assert err < 8e-2, f"relative norm error {err}"
+
+    jax.tree_util.tree_map(close, g_ref, g_fused)
+
+
+@pytest.mark.slow
+def test_fused_recurrent_custom_apply_matches_flax_lemur() -> None:
+    """`fused_recurrent_custom_apply` on LazyLemur — embedding + stacked
+    LSTM re-applied in XLA, twin LayerNorm-MLP chains in the kernel —
+    equals the flax apply to matmul precision: forward, new states
+    (bit-exact: the RNN half is the same flax code), and gradients
+    (including BPTT into the LSTM through the kernel's dx)."""
+    from examples.algotrading.models import LazyLemur
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.ops.fused_mlp import (
+        fused_recurrent_custom_apply,
+        supports_fused_recurrent_apply,
+    )
+    from rl8_tpu.specs import Composite, Discrete, Unbounded
+
+    obs_spec = Composite(
+        {
+            "action_mask": Discrete(2, shape=(3,), dtype=jnp.int32),
+            "invested": Discrete(2, shape=(1,), dtype=jnp.int32),
+            "LOG_CHANGE(price)": Unbounded(1),
+            "LOG_CHANGE(price, position)": Unbounded(1),
+        }
+    )
+    model = LazyLemur(obs_spec, Discrete(3, shape=(1,)), hiddens=(32, 32))
+    assert supports_fused_recurrent_apply(model)
+    B, T = 24, 4
+    batch = {
+        DataKeys.OBS: {
+            "action_mask": jnp.ones((B, T, 3), jnp.int32).at[: B // 2, :, 1].set(0),
+            "invested": jax.random.randint(jax.random.key(2), (B, T, 1), 0, 2),
+            "LOG_CHANGE(price)": jax.random.normal(jax.random.key(3), (B, T, 1)),
+            "LOG_CHANGE(price, position)": jax.random.normal(
+                jax.random.key(4), (B, T, 1)
+            ),
+        }
+    }
+    states = model.init_states(B)
+    params = model.init(jax.random.key(0), batch, states)["params"]
+
+    (f_ref, v_ref), s_ref = model.apply({"params": params}, batch, states)
+    (f_fused, v_fused), s_fused = fused_recurrent_custom_apply(
+        model, params, batch, states, interpret=True
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_ref,
+        s_fused,
+    )
+    valid = f_ref["logits"] > -1e37
+    _rel_close(
+        jnp.where(valid, f_ref["logits"], 0.0),
+        jnp.where(valid, f_fused["logits"], 0.0),
+        2e-2,
+    )
+    _rel_close(v_ref, v_fused, 2e-2)
+
+    def loss(p, fused):
+        if fused:
+            (f, v), _ = fused_recurrent_custom_apply(
+                model, p, batch, states, interpret=True
+            )
+        else:
+            (f, v), _ = model.apply({"params": p}, batch, states)
+        lg = jnp.where(f["logits"] > -1e37, f["logits"], 0.0)
+        return jnp.mean(jnp.sin(lg)) + jnp.mean(v * v)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_fused = jax.grad(lambda p: loss(p, True))(params)
+    global_norm = float(
+        jnp.sqrt(
+            sum(jnp.sum(g.astype(jnp.float64) ** 2) for g in jax.tree_util.tree_leaves(g_ref))
+        )
+    )
+
+    def close(a, b):
+        # Floor the denominator at 2% of the global gradient norm: the
+        # embedding table's gradient arrives through dx + BPTT and is
+        # ~0.7% of the global norm, so bf16 rounding dominates a pure
+        # leaf-relative comparison there.
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 0.02 * global_norm)
+        assert err < 8e-2, f"relative norm error {err}"
+
+    jax.tree_util.tree_map(close, g_ref, g_fused)
+
+
+def test_supports_fused_recurrent_classification() -> None:
+    """Recurrent specs gate separately from feedforward specs: a
+    FusedRecurrentApplySpec model is not fused-apply capable on the
+    feedforward path and vice versa."""
+    from examples.algotrading.models import LazyLemur, MischievousMule
+    from rl8_tpu.ops.fused_mlp import (
+        supports_fused_apply,
+        supports_fused_recurrent_apply,
+    )
+    from rl8_tpu.specs import Composite, Discrete, Unbounded
+
+    obs_spec = Composite(
+        {
+            "action_mask": Discrete(2, shape=(3,), dtype=jnp.int32),
+            "invested": Discrete(2, shape=(1,), dtype=jnp.int32),
+            "LOG_CHANGE(price)": Unbounded(1),
+            "LOG_CHANGE(price, position)": Unbounded(1),
+        }
+    )
+    lemur = LazyLemur(obs_spec, Discrete(3, shape=(1,)))
+    assert supports_fused_recurrent_apply(lemur)
+    assert not supports_fused_apply(lemur)
+    mule = MischievousMule(obs_spec, Discrete(3, shape=(1,)))
+    assert supports_fused_apply(mule)
+    assert not supports_fused_recurrent_apply(mule)
+    assert not supports_fused_recurrent_apply(
+        LazyLemur(obs_spec, Discrete(3, shape=(1,)), dtype=jnp.float16)
+    )
