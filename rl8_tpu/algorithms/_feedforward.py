@@ -120,14 +120,18 @@ class AlgorithmConfig:
     #: for elementwise optimizers (adam/sgd/...); disable for optimizers
     #: whose math depends on parameter structure.
     flatten_optimizer: bool = True
-    #: Evaluate default models with fused Pallas forward/backward kernels
-    #: on TPU (recompute-based backward). Equals the flax forward up to
+    #: Evaluate supported models with fused Pallas forward/backward
+    #: kernels on TPU (recompute-based backward): default models, and
+    #: custom models declaring a ``FusedApplySpec``
+    #: (``Model.fused_apply_spec``). Equals the flax forward up to
     #: matmul precision (bf16 multiplies — XLA's own TPU default).
-    #: Off by default: XLA's fusion of the plain flax module currently
-    #: matches these kernels, so they are opt-in until profiling says
-    #: otherwise. Auto-disabled for custom models, unsupported
-    #: activations, or GSPMD exact-sharding mode (the default
-    #: shard_map mode keeps it available per shard).
+    #: Off by default for the default models (XLA's fusion of the plain
+    #: flax module currently matches these kernels); the payoff is on
+    #: spec-declaring custom models, whose autodiff update is otherwise
+    #: HBM-traffic-bound. Auto-disabled for unsupported models or
+    #: activations, chains exceeding the kernels' VMEM budget, and GSPMD
+    #: exact-sharding mode (the default shard_map mode keeps it
+    #: available per shard).
     fused_forward: bool = False
     #: Compute each PPO minibatch's losses AND parameter gradients with
     #: ONE fused Pallas kernel (forward, distribution log-probs/entropy,
