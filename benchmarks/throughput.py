@@ -54,7 +54,13 @@ def _algotrading_config(
             model_cls=AttentiveAlpaca, fused_forward=fused_forward, **common
         )
     if model == "lemur":
-        # seq_len * seqs_per_state_reset must divide the horizon.
+        # seq_len * seqs_per_state_reset must divide the horizon; the
+        # recurrent algorithm counts minibatch size in SEQUENCES, so
+        # divide the transition-denominated size by seq_len to keep the
+        # same minibatches-per-epoch as the feedforward models.
+        common = dict(common)
+        if common.get("sgd_minibatch_size"):
+            common["sgd_minibatch_size"] //= 4
         return RecurrentAlgorithmConfig(
             model_cls=LazyLemur,
             seq_len=4,

@@ -13,12 +13,12 @@ import jax
 import jax.numpy as jnp
 
 from rl8_tpu.data import DataKeys
+
+from ._common import action_mask_logits
 from rl8_tpu.models import GenericRecurrentModel, small_uniform_init
 from rl8_tpu.models._recurrent import _StackedLSTM, _lstm_state_spec
 from rl8_tpu.nn import MLP, get_activation
 from rl8_tpu.specs import Composite
-
-_FMIN = float(jnp.finfo(jnp.float32).min)
 
 __all__ = ["LazyLemur"]
 
@@ -82,9 +82,7 @@ class LazyLemur(GenericRecurrentModel):
             dtype=self.dtype,
             name="feature_head",
         )(feats).reshape(-1, 1, 3).astype(jnp.float32)
-        inf_mask = jnp.clip(
-            jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
-        ).reshape(-1, 1, 3)
+        inf_mask = action_mask_logits(obs)
         vf_latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
                 dtype=self.dtype, name="vf_model")(latents)
@@ -139,9 +137,7 @@ class LazyLemur(GenericRecurrentModel):
         def finalize(batch: Any, outs: Any) -> tuple[dict, jax.Array]:
             (logits,), (values,) = outs
             obs = batch[DataKeys.OBS]
-            inf_mask = jnp.clip(
-                jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
-            ).reshape(-1, 1, 3)
+            inf_mask = action_mask_logits(obs)
             return {"logits": logits.reshape(-1, 1, 3) + inf_mask}, values
 
         return FusedRecurrentApplySpec(

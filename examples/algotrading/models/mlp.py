@@ -17,11 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from rl8_tpu.data import DataKeys
+
+from ._common import action_mask_logits
 from rl8_tpu.models import GenericModel, small_uniform_init
 from rl8_tpu.nn import MLP, get_activation
 from rl8_tpu.views import ViewRequirement
-
-_FMIN = float(jnp.finfo(jnp.float32).min)
 
 __all__ = ["MischievousMule"]
 
@@ -42,11 +42,6 @@ def _price_features(obs: dict, L: int) -> jax.Array:
     )
 
 
-def _action_mask_logits(obs: dict) -> jax.Array:
-    """-inf logits for invalid actions (shared between both paths)."""
-    return jnp.clip(
-        jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
-    ).reshape(-1, 1, 3)
 
 
 class MischievousMule(GenericModel):
@@ -109,7 +104,7 @@ class MischievousMule(GenericModel):
                 dtype=self.dtype, name="vf_model")(x)
         )
         values = nn.Dense(1, dtype=self.dtype, name="vf_head")(vf_latents)
-        return {"logits": logits + _action_mask_logits(obs)}, values.astype(
+        return {"logits": logits + action_mask_logits(obs)}, values.astype(
             jnp.float32
         )
 
@@ -140,7 +135,7 @@ class MischievousMule(GenericModel):
             (logits,), (values,) = outs
             obs = batch[DataKeys.OBS]
             return {
-                "logits": logits.reshape(-1, 1, 3) + _action_mask_logits(obs)
+                "logits": logits.reshape(-1, 1, 3) + action_mask_logits(obs)
             }, values
 
         return FusedApplySpec(

@@ -15,11 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from rl8_tpu.data import DataKeys
+
+from ._common import action_mask_logits
 from rl8_tpu.models import GenericModel, small_uniform_init
 from rl8_tpu.nn import MLP, SelfAttentionStack, get_activation, masked_avg
 from rl8_tpu.views import ViewRequirement
-
-_FMIN = float(jnp.finfo(jnp.float32).min)
 
 __all__ = ["AttentiveAlpaca"]
 
@@ -95,9 +95,7 @@ class AttentiveAlpaca(GenericModel):
             dtype=self.dtype,
             name="feature_head",
         )(latents).reshape(-1, 1, 3).astype(jnp.float32)
-        inf_mask = jnp.clip(
-            jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
-        ).reshape(-1, 1, 3)
+        inf_mask = action_mask_logits(obs)
         vf_latents = act(
             MLP(self.hiddens, activation_fn=self.activation_fn, layer_norm=True,
                 dtype=self.dtype, name="vf_model")(x)
@@ -147,9 +145,7 @@ class AttentiveAlpaca(GenericModel):
         def finalize(batch: Any, outs: Any) -> tuple[dict, jax.Array]:
             (logits,), (values,) = outs
             obs = batch[DataKeys.OBS]
-            inf_mask = jnp.clip(
-                jnp.log(obs["action_mask"].astype(jnp.float32)), _FMIN, 0.0
-            ).reshape(-1, 1, 3)
+            inf_mask = action_mask_logits(obs)
             return {"logits": logits.reshape(-1, 1, 3) + inf_mask}, values
 
         return FusedApplySpec(

@@ -146,9 +146,9 @@ def fused_act(
         action_dtype = jnp.float32
 
     b = obs.shape[0]
-    from .fused_mlp import _chain_mem
+    from .fused_mlp import _chain_tile
 
-    tile = _row_tile(b, 2 * _chain_mem(chains)[1])
+    tile = _chain_tile(b, chains, extra_row_factor=2)
     grid = (pl.cdiv(b, tile),)
     # Feed the full JAX key material to the hardware PRNG (both 32-bit
     # words — a single word would collide by birthday bound over long

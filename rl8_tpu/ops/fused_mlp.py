@@ -62,26 +62,44 @@ _ACT_GRAD_FROM_OUT = {
 #: resident parameter/accumulator arrays and Pallas' double-buffering of
 #: grid-blocked operands share the same space.
 _ROW_BYTES_BUDGET = 48 * 1024 * 1024
-#: Ceiling on the VMEM-resident fixed footprint (params + gradient
-#: accumulators); chains above it must fall back to the XLA path.
-_FIXED_BYTES_LIMIT = 80 * 1024 * 1024
+#: Total fixed-residents + row-tiled budget the kernels are allowed —
+#: matches the ``vmem_limit_bytes=100MB`` compiler param minus headroom
+#: for double-buffered grid-blocked operands. The row budget shrinks as
+#: the fixed set grows so the two never sum past this.
+_VMEM_TOTAL_BUDGET = 88 * 1024 * 1024
 
 
-def _row_tile(n: int, row_f32s: int | None = None) -> int:
+def _row_tile(
+    n: int, row_f32s: int | None = None, budget: int = _ROW_BYTES_BUDGET
+) -> int:
     """Row-tile size: big enough to amortize grid steps, small enough to
     keep activations VMEM-resident.
 
     ``row_f32s`` — the per-row f32 count of live row-tiled buffers (see
     :func:`_chain_mem`) — shrinks the tile for wide models so the
-    activation working set stays inside :data:`_ROW_BYTES_BUDGET`. The
-    small-model regime (``row_f32s`` under ~2000) keeps the 4096-row
-    tile that the tracked configs were tuned at."""
+    activation working set stays inside ``budget``. The small-model
+    regime (``row_f32s`` under ~2000) keeps the 4096-row tile that the
+    tracked configs were tuned at."""
     cap = 4096
     if row_f32s is not None:
-        cap = max(8, min(cap, _ROW_BYTES_BUDGET // (4 * row_f32s) // 8 * 8))
+        cap = max(8, min(cap, budget // (4 * row_f32s) // 8 * 8))
     if n <= cap:
         return -(-n // 8) * 8  # round up to the f32 sublane count
     return cap
+
+
+def _chain_tile(n: int, chains: Any, extra_row_factor: int = 1) -> int:
+    """Tile for ``chains`` from the shared footprint model: the row-tile
+    budget is what the total budget leaves after the fixed residents, so
+    mid-width models (large params AND wide activations) shrink their
+    tiles rather than overshooting ``vmem_limit_bytes``.
+    ``extra_row_factor`` scales the per-row estimate for kernels with
+    additional row-tiled live state (the PPO loss/sampling buffers)."""
+    fixed, row = _chain_mem(chains)
+    budget = max(0, _VMEM_TOTAL_BUDGET - fixed)
+    return _row_tile(
+        n, extra_row_factor * row, budget=min(_ROW_BYTES_BUDGET, budget)
+    )
 
 
 def _chain_mem(chains: Any) -> tuple[int, int]:
@@ -120,11 +138,12 @@ def _chain_mem(chains: Any) -> tuple[int, int]:
 
 def chains_fit_vmem(chains: Any) -> bool:
     """Whether :func:`fused_chains` can run these chains on hardware —
-    the resident parameter set must leave row-tile headroom. Callers use
-    this to fall back to the XLA implementation for very wide models
-    (e.g. ≥2048-wide twin torsos) instead of failing Mosaic allocation."""
+    the resident parameter set must leave headroom for at least a
+    minimal (8-row) tile within the total VMEM budget. Callers use this
+    to fall back to the XLA implementation for very wide models (e.g.
+    ≥2048-wide twin torsos) instead of failing Mosaic allocation."""
     fixed, row = _chain_mem(chains)
-    return fixed + 4 * row * 8 <= _FIXED_BYTES_LIMIT
+    return fixed + 4 * row * 8 <= _VMEM_TOTAL_BUDGET
 
 
 def _bf(x: jax.Array) -> jax.Array:
@@ -259,9 +278,13 @@ def _forward_block(
                 gamma, beta = refs[r][:], refs[r + 1][:]
                 r += 2
                 mu = jnp.mean(z, axis=1, keepdims=True)
-                # Fast variance (flax's default): E[z^2] - E[z]^2.
+                # Fast variance (flax's default): E[z^2] - E[z]^2,
+                # clamped at 0 like flax — f32 cancellation can push it
+                # slightly negative (e.g. zero-padded tail rows whose z
+                # is the constant bias vector), and rsqrt(negative)
+                # would NaN-poison the dgamma/dbeta accumulators.
                 var = jnp.mean(z * z, axis=1, keepdims=True) - mu * mu
-                s = jax.lax.rsqrt(var + _LN_EPS)
+                s = jax.lax.rsqrt(jnp.maximum(var, 0.0) + _LN_EPS)
                 xhat = (z - mu) * s
                 aux.append((xhat, s))
                 z = xhat * gamma + beta
@@ -426,7 +449,7 @@ def _call_fwd(
     sizes = _chain_sizes(chains)
     flat = _flatten_params(chains)
     n = x.shape[0]
-    tile = _row_tile(n, _chain_mem(chains)[1])
+    tile = _chain_tile(n, chains)
     grid = (pl.cdiv(n, tile),)
     out_shapes = []
     for layers, heads in chains:
@@ -494,7 +517,7 @@ def _fused_bwd(activation, interpret, res, douts):
     # output dim is below the MXU contraction minimum).
     flat_head_wts = [w.T for _, heads in chains for w, _ in heads]
     n = x.shape[0]
-    tile = _row_tile(n, _chain_mem(chains)[1])
+    tile = _chain_tile(n, chains)
     grid = (pl.cdiv(n, tile),)
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat]
     out_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32), *dparam_shapes]

@@ -448,9 +448,9 @@ def fused_ppo_grads(
     rows = packed_mb.shape[0]
     # The update kernel's live set adds loss/sampling buffers on top of
     # the chain activations; double the chain estimate to cover them.
-    from .fused_mlp import _chain_mem
+    from .fused_mlp import _chain_tile
 
-    tile = _row_tile(rows, 2 * _chain_mem(chains)[1])
+    tile = _chain_tile(rows, chains, extra_row_factor=2)
     grid = (pl.cdiv(rows, tile),)
     ec = jnp.asarray(entropy_coeff, dtype=jnp.float32).reshape(1, 1)
 

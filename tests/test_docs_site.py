@@ -13,6 +13,10 @@ import importlib.util
 import sys
 from pathlib import Path
 
+import pytest
+
+pytest.importorskip("markdown", reason="docs extra not installed")
+
 REPO = Path(__file__).resolve().parent.parent
 
 
