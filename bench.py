@@ -172,6 +172,9 @@ def bench_algotrading() -> None:
         model_config={"dtype": jnp.bfloat16},
         accumulate_grads=True,
         enable_amp=True,
+        # Fused Pallas chain kernels via the model's FusedApplySpec —
+        # the custom-model fast path (docs/custom-models.md).
+        fused_forward=True,
         sgd_minibatch_size=num_envs * horizon // 4,
     ).build(AlgoTrading)
     tps = _throughput(algo, num_envs, horizon, iters=5)
