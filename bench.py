@@ -24,6 +24,11 @@ each shaped ``{"metric", "value", "unit", "vs_baseline"}``:
 
 For throughput metrics ``vs_baseline`` = measured / 1M (higher is
 better).
+
+After the five tracked configs, diagnostic lines cover the other two
+algotrading example models (AttentiveAlpaca, LazyLemur — the reference
+claims throughput holds across its example models) and the 1024-wide
+torso regime (where the width-aware kernel tiling engages).
 """
 
 from __future__ import annotations
@@ -186,6 +191,44 @@ def bench_algotrading() -> None:
     )
 
 
+def bench_example_models() -> None:
+    """Per-model throughput for the other two algotrading example models
+    (VERDICT r2 item 1: the reference claims throughput holds for its
+    example models). Uses `benchmarks.throughput.measure` — the same
+    harness as the ablation CLI — at the tracked algotrading shape."""
+    from benchmarks.throughput import measure
+
+    for name, kwargs in (
+        ("alpaca", dict(model="alpaca", fused_forward=True)),
+        ("lemur", dict(model="lemur", fused_forward=True)),
+    ):
+        r = measure(num_envs=4096, horizon=32, iters=5, **kwargs)
+        tps = r["transitions_per_s"]
+        _emit(
+            f"algotrading_{name}_env_transitions_per_s_with_update",
+            tps,
+            "transitions/s",
+            tps / REFERENCE_TRANSITIONS_PER_S,
+        )
+
+
+def bench_wide_torso() -> None:
+    """The non-tiny-model regime (VERDICT r2 item 4): default model with
+    a 1024-wide twin torso, where the width-aware kernel tiling shrinks
+    the row tile and the system leaves the HBM-bound small-model
+    regime."""
+    from benchmarks.throughput import measure
+
+    r = measure(num_envs=8192, horizon=32, hiddens=(1024, 1024), iters=5)
+    tps = r["transitions_per_s"]
+    _emit(
+        "wide_torso_1024_env_transitions_per_s_with_update",
+        tps,
+        "transitions/s",
+        tps / REFERENCE_TRANSITIONS_PER_S,
+    )
+
+
 def main() -> None:
     bench_feedforward()
     for bench in (
@@ -193,6 +236,8 @@ def main() -> None:
         bench_continuous_squashed,
         bench_cartpole_time_to_solve,
         bench_algotrading,
+        bench_example_models,
+        bench_wide_torso,
     ):
         try:
             bench()
