@@ -25,6 +25,14 @@ parser.add_argument(
     default="mlp",
     help="Model class type to use.",
 )
+parser.add_argument(
+    "--fused-forward",
+    action="store_true",
+    help=(
+        "Run the model through the fused Pallas chain kernels on TPU"
+        " (every algotrading model declares a fused apply spec)."
+    ),
+)
 args = parser.parse_args()
 
 match args.model:
@@ -43,7 +51,10 @@ set_default_run(JsonlRun(track_dir))
 print(f"Logging metrics under {track_dir}", file=sys.stderr)
 train_config = TrainConfig(
     AlgoTrading,
-    algorithm_config={"model_cls": model_cls},
+    algorithm_config={
+        "model_cls": model_cls,
+        "fused_forward": args.fused_forward,
+    },
     recurrent=recurrent,
 )
 trainer = train_config.build()
