@@ -118,7 +118,18 @@ def supports_fused_rnn_update(
         return False
     if model.dtype is not None:
         return False
-    return ok and 1 <= model.num_layers <= 8 and bool(model.bias)
+    if not (ok and 1 <= model.num_layers <= 8 and bool(model.bias)):
+        return False
+    # Weight-residency gate, mirroring fused_mlp.chains_fit_vmem: the
+    # kernel holds every LSTM/head parameter AND its gradient
+    # accumulator in VMEM, so very wide cells (H >= ~2048) must fall
+    # back to autodiff instead of failing Mosaic allocation.
+    from .fused_mlp import _VMEM_TOTAL_BUDGET
+
+    H, L = model.hidden_size, model.num_layers
+    d0 = int(model.observation_spec.shape[0])
+    param_f32s = 4 * H * (d0 + H + 1) + (L - 1) * 4 * H * (2 * H + 1)
+    return 2 * 4 * param_f32s <= _VMEM_TOTAL_BUDGET - 8 * 1024 * 1024
 
 
 def _rnn_tile(n: int, hidden: int, seq_len: int, num_layers: int) -> int:

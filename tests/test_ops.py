@@ -1180,3 +1180,25 @@ def test_fused_custom_apply_bf16_amp_path() -> None:
     assert all(
         bool(jnp.all(jnp.isfinite(x))) for x in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_supports_fused_rnn_update_weight_residency_gate() -> None:
+    """Very wide LSTM cells (whose VMEM-resident weights + gradient
+    accumulators exceed the kernel budget) fall back to autodiff; the
+    supported sizes (default H=256, and H=1024 single layer) stay on
+    the fused path."""
+    from rl8_tpu.distributions import Categorical
+    from rl8_tpu.models import DefaultDiscreteRecurrentModel
+    from rl8_tpu.ops.fused_rnn_ppo import supports_fused_rnn_update
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    def mk(H, L=1):
+        return DefaultDiscreteRecurrentModel(
+            Unbounded(3), Discrete(2, shape=(1,)), hidden_size=H, num_layers=L
+        )
+
+    assert supports_fused_rnn_update(mk(256), Categorical)
+    assert supports_fused_rnn_update(mk(256, 2), Categorical)
+    assert supports_fused_rnn_update(mk(1024), Categorical)
+    assert not supports_fused_rnn_update(mk(2048), Categorical)
+    assert not supports_fused_rnn_update(mk(1024, 4), Categorical)
