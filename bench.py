@@ -161,33 +161,43 @@ def bench_cartpole_time_to_solve() -> None:
     )
 
 
+def _measure_algotrading(model: str, **kwargs) -> dict:
+    """Measure an algotrading model through the fused custom-model path,
+    falling back to the XLA autodiff path if the fused kernels fail on
+    this platform (they are interpret-mode and TPU-gated, but a Mosaic
+    compile rejection on an untested toolchain must not cost the tracked
+    metric its number)."""
+    from benchmarks.throughput import measure
+
+    try:
+        r = measure(model=model, fused_forward=True, **kwargs)
+        r["fused"] = r["fused_forward_active"]
+    except Exception:
+        r = measure(model=model, fused_forward=False, **kwargs)
+        r["fused"] = False
+    return r
+
+
 def bench_algotrading() -> None:
-    from examples.algotrading.env import AlgoTrading
-    from examples.algotrading.models import MischievousMule
-    from rl8_tpu import AlgorithmConfig
-
+    # The tracked config: MischievousMule + AMP + gradient accumulation,
+    # run through the fused Pallas chain kernels via the model's
+    # FusedApplySpec (docs/custom-models.md), with autodiff fallback.
     num_envs, horizon = 4096, 32
-    import jax.numpy as jnp
-
-    algo = AlgorithmConfig(
-        num_envs=num_envs,
-        horizon=horizon,
-        model_cls=MischievousMule,
-        # Custom models opt into AMP via their compute dtype.
-        model_config={"dtype": jnp.bfloat16},
-        accumulate_grads=True,
-        enable_amp=True,
-        # Fused Pallas chain kernels via the model's FusedApplySpec —
-        # the custom-model fast path (docs/custom-models.md).
-        fused_forward=True,
-        sgd_minibatch_size=num_envs * horizon // 4,
-    ).build(AlgoTrading)
-    tps = _throughput(algo, num_envs, horizon, iters=5)
-    _emit(
-        "algotrading_env_transitions_per_s_with_update",
-        tps,
-        "transitions/s",
-        tps / REFERENCE_TRANSITIONS_PER_S,
+    r = _measure_algotrading(
+        "mule", amp=True, num_envs=num_envs, horizon=horizon, iters=5
+    )
+    tps = r["transitions_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "algotrading_env_transitions_per_s_with_update",
+                "value": tps,
+                "unit": "transitions/s",
+                "vs_baseline": tps / REFERENCE_TRANSITIONS_PER_S,
+                "fused": r["fused"],
+            }
+        ),
+        flush=True,
     )
 
 
@@ -196,19 +206,23 @@ def bench_example_models() -> None:
     (VERDICT r2 item 1: the reference claims throughput holds for its
     example models). Uses `benchmarks.throughput.measure` — the same
     harness as the ablation CLI — at the tracked algotrading shape."""
-    from benchmarks.throughput import measure
-
-    for name, kwargs in (
-        ("alpaca", dict(model="alpaca", fused_forward=True)),
-        ("lemur", dict(model="lemur", fused_forward=True)),
-    ):
-        r = measure(num_envs=4096, horizon=32, iters=5, **kwargs)
+    for name in ("alpaca", "lemur"):
+        r = _measure_algotrading(name, num_envs=4096, horizon=32, iters=5)
         tps = r["transitions_per_s"]
-        _emit(
-            f"algotrading_{name}_env_transitions_per_s_with_update",
-            tps,
-            "transitions/s",
-            tps / REFERENCE_TRANSITIONS_PER_S,
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"algotrading_{name}"
+                        "_env_transitions_per_s_with_update"
+                    ),
+                    "value": tps,
+                    "unit": "transitions/s",
+                    "vs_baseline": tps / REFERENCE_TRANSITIONS_PER_S,
+                    "fused": r["fused"],
+                }
+            ),
+            flush=True,
         )
 
 

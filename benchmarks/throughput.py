@@ -133,6 +133,10 @@ def measure(
     return {
         "transitions_per_s": num_envs * horizon * iters / elapsed,
         "ms_per_iteration": elapsed / iters * 1e3,
+        # The actual gate state: fused_forward=True silently falls back
+        # off-TPU (or when the model/VMEM gates reject), so callers that
+        # label results must not trust the requested flag.
+        "fused_forward_active": bool(getattr(algo, "_fused_forward", False)),
     }
 
 
