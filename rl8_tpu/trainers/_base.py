@@ -161,6 +161,7 @@ class GenericTrainerBase(Generic[_Algorithm]):
         steps_per_checkpoint: None | int = None,
         checkpoint_dir: Any = None,
         resume: bool = True,
+        checkpoint_on_preemption: bool = True,
     ) -> TrainStats:
         """Train until any stop condition is satisfied
         (``trainers/_base.py:104-174``). Runs indefinitely without stop
@@ -180,6 +181,14 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 same command after a preemption continues where the run
                 left off, no extra restart code needed. Pass ``False``
                 to overwrite instead.
+            checkpoint_on_preemption: While a ``checkpoint_dir`` is
+                configured, catch ``SIGTERM`` (the TPU pod eviction
+                notice), sync it across processes at the next step
+                boundary, save a final collective checkpoint, and return
+                cleanly (default). Grace periods are typically tens of
+                seconds, so keep ``fused_steps`` batches shorter than
+                the grace period — the signal is only acted on between
+                device programs.
 
         Returns:
             The most recent train stats when training stops. When a
@@ -264,29 +273,55 @@ class GenericTrainerBase(Generic[_Algorithm]):
             ):
                 self.save_checkpoint(checkpoint_dir)
 
-        if fused_steps and fused_steps > 1:
-            while True:
-                for train_stats in self.step_fused(
-                    fused_steps, env_config=env_config
-                ):
-                    if any(c(train_stats) for c in stop_conditions):
-                        _maybe_checkpoint()
+        monitor = None
+        if checkpoint_dir and checkpoint_on_preemption:
+            from ..preemption import PreemptionMonitor
+
+            monitor = PreemptionMonitor().install()
+
+        def _preempted() -> bool:
+            # COLLECTIVE in multi-process runs — every process reaches
+            # this call at the same (deterministic) step boundaries.
+            return monitor is not None and monitor.preempted()
+
+        try:
+            if fused_steps and fused_steps > 1:
+                while True:
+                    for train_stats in self.step_fused(
+                        fused_steps, env_config=env_config
+                    ):
+                        if any(c(train_stats) for c in stop_conditions):
+                            _maybe_checkpoint()
+                            return train_stats
+                    if _preempted():
+                        self.save_checkpoint(checkpoint_dir)
                         return train_stats
-                _maybe_checkpoint()
+                    _maybe_checkpoint()
+                    if steps_per_eval and not (
+                        self.state["algorithm/steps"] % steps_per_eval
+                    ):
+                        self.eval(env_config=eval_env_config)
+            train_stats = self.step(env_config=env_config)
+            if _preempted():
+                self.save_checkpoint(checkpoint_dir)
+                return train_stats
+            _maybe_checkpoint()
+            while not any(
+                condition(train_stats) for condition in stop_conditions
+            ):
                 if steps_per_eval and not (
                     self.state["algorithm/steps"] % steps_per_eval
                 ):
                     self.eval(env_config=eval_env_config)
-        train_stats = self.step(env_config=env_config)
-        _maybe_checkpoint()
-        while not any(condition(train_stats) for condition in stop_conditions):
-            if steps_per_eval and not (
-                self.state["algorithm/steps"] % steps_per_eval
-            ):
-                self.eval(env_config=eval_env_config)
-            train_stats = self.step(env_config=env_config)
-            _maybe_checkpoint()
-        return train_stats
+                train_stats = self.step(env_config=env_config)
+                if _preempted():
+                    self.save_checkpoint(checkpoint_dir)
+                    return train_stats
+                _maybe_checkpoint()
+            return train_stats
+        finally:
+            if monitor is not None:
+                monitor.uninstall()
 
     def save_checkpoint(self, directory: Any, /) -> None:
         """Persist the full training state (algorithm + trainer counters)

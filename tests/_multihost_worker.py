@@ -15,6 +15,9 @@ Modes:
         hang, 0 when the failure surfaced as an exception).
     resume: restart after the fault — restore (must land on the last
         COMPLETE generation), train a step, save a fresh generation.
+    preempt: SIGTERM lands on process 1 ONLY mid-``Trainer.run``; the
+        preemption sync must make BOTH processes save a final collective
+        checkpoint and return early.
 """
 
 import json
@@ -113,6 +116,36 @@ def main() -> None:
         with open(os.path.join(tmpdir, f"fault_result_{proc_id}.json"), "w") as f:
             json.dump({"status": status}, f)
         os._exit(0 if proc_id == 0 else 18)  # 18: process 1 outlived its kill
+    elif mode == "preempt":
+        import signal
+
+        from rl8_tpu.conditions import HitsUpperBound
+
+        class _SigtermProc1:
+            """Deliver SIGTERM to process 1 ONLY at step 2 — the sync in
+            ``PreemptionMonitor.preempted`` must still checkpoint BOTH
+            processes (the collective save deadlocks otherwise)."""
+
+            def __call__(self, stats):
+                if proc_id == 1 and stats["algorithm/steps"] == 2:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                return False
+
+        stats = trainer.run(
+            stop_conditions=[
+                _SigtermProc1(),
+                HitsUpperBound("algorithm/steps", 12),
+            ],
+            checkpoint_dir=ckpt_dir,
+        )
+        result = {
+            "algorithm/steps": int(stats["algorithm/steps"]),
+            "env/steps": int(stats["env/steps"]),
+        }
+        with open(
+            os.path.join(tmpdir, f"preempt_result_{proc_id}.json"), "w"
+        ) as f:
+            json.dump(result, f)
     elif mode == "resume":
         trainer.restore_checkpoint(ckpt_dir)
         restored = dict(trainer.state)

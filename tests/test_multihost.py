@@ -87,6 +87,57 @@ def test_two_process_training(tmp_path):
 
 
 @pytest.mark.slow
+def test_multihost_preemption_checkpoints_both_processes(tmp_path):
+    """SIGTERM delivered to ONE process must checkpoint BOTH: the
+    monitor's all-gather syncs the flag at the next step boundary, both
+    processes join the collective save, and both return early with
+    identical counters (``rl8_tpu/preemption.py``)."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(_WORKER), str(i), str(port),
+                str(tmp_path), _REPO_ROOT, "preempt",
+            ],
+            env=dict(os.environ),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    with open(tmp_path / "preempt_result_0.json") as f:
+        r0 = json.load(f)
+    with open(tmp_path / "preempt_result_1.json") as f:
+        r1 = json.load(f)
+    # Both processes stopped at the same early boundary (signal at step
+    # 2, acted on after step 3) — far short of the 12-step stop bound.
+    assert r0 == r1
+    assert r0["algorithm/steps"] == 3
+
+    # The final collective checkpoint carries the preemption-time
+    # counters, so a rerun of the same command resumes from step 3.
+    with open(tmp_path / "ckpt" / "latest.json") as f:
+        latest = json.load(f)
+    gen = tmp_path / "ckpt" / latest["checkpoint"]
+    with open(gen / "host_state.json") as f:
+        host = json.load(f)
+    assert host["trainer_state"]["algorithm/steps"] == 3
+
+
+@pytest.mark.slow
 def test_multihost_checkpoint_fault_injection(tmp_path):
     """Kill one worker between the `checkpoint_begin` and
     `checkpoint_publish` barriers: the generation-2 save must NOT
