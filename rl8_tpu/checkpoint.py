@@ -18,6 +18,12 @@ mid-save — the exact event checkpointing exists for — leaves
 auto-resume never reads a partially-written state tree. The previous
 checkpoint is retained (two generations on disk); older ones are pruned.
 
+Async saves (``block=False``) keep the same invariant: the call returns
+once the state is snapshotted to host memory (training overlaps the
+write), and ``latest.json`` is only published when the background write
+completes — by the next save/restore/exists call,
+:func:`wait_for_checkpoint`, or interpreter exit, whichever comes first.
+
 Storage: paths may be plain filesystem paths or object-store URLs
 (``gs://``, ``s3://``, ``az://``) — host-side JSON goes through
 ``etils.epath`` and the array tree through orbax/tensorstore, both of
@@ -45,11 +51,22 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "checkpoint_exists"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "checkpoint_exists",
+    "wait_for_checkpoint",
+]
 
 _CKPT_RE = re.compile(r"^ckpt-(\d{8})$")
 #: Checkpoint generations kept on disk (latest + one fallback).
 _KEEP = 2
+
+#: In-flight async save: ``(checkpointer, directory, name, index)``.
+#: ``latest.json`` publication is deferred until the background write
+#: completes, so the completeness invariant holds for async saves too.
+_PENDING: None | tuple[Any, Any, str, int] = None
+_ATEXIT_REGISTERED = False
 
 
 def _as_path(directory: str | os.PathLike[str]) -> Any:
@@ -81,6 +98,7 @@ def checkpoint_exists(directory: str | os.PathLike[str], /) -> bool:
     :func:`save_checkpoint` (``latest.json`` is published atomically
     after a checkpoint finishes, so it only ever points at complete
     state)."""
+    wait_for_checkpoint()
     directory = _as_path(directory)
     if not directory.exists():
         return False
@@ -123,49 +141,10 @@ def _publish_latest(directory: Any, name: str, index: int) -> None:
     os.replace(tmp, os.path.join(raw, "latest.json"))
 
 
-def save_checkpoint(
-    directory: str | os.PathLike[str],
-    algorithm: Any,
-    /,
-    *,
-    trainer_state: None | dict[str, int] = None,
-) -> None:
-    """Save an algorithm's full dynamic state (and optional trainer
-    counters) as a new checkpoint generation under ``directory``.
-
-    Args:
-        directory: Checkpoint directory (created if missing) — a local
-            path or an object-store URL (``gs://bucket/run1``). Holds the
-            last two generations plus ``latest.json``.
-        algorithm: An ``Algorithm``/``RecurrentAlgorithm`` instance.
-        trainer_state: Optional trainer counters to persist alongside.
-
-    """
-    import orbax.checkpoint as ocp
-
-    directory = _as_path(directory)
+def _finalize_publish(directory: Any, name: str, index: int) -> None:
+    """Publish generation ``name`` and prune old ones (process 0), then
+    hold every process until the publish is visible."""
     if jax.process_index() == 0:
-        directory.mkdir(parents=True, exist_ok=True)
-    latest = _latest(directory) if directory.exists() else None
-    index = (latest[0] if latest else 0) + 1
-    name = f"ckpt-{index:08d}"
-    ckpt_dir = directory / name
-    # Clear debris from a previously-interrupted save of this index.
-    if jax.process_index() == 0 and ckpt_dir.is_dir():
-        ckpt_dir.rmtree()
-    _barrier("checkpoint_begin")
-
-    checkpointer = ocp.PyTreeCheckpointer()
-    # COLLECTIVE across processes (each writes its addressable shards).
-    checkpointer.save(ckpt_dir / "state", _encode_rng(algorithm.state), force=True)
-    if jax.process_index() == 0:
-        host = {
-            "horizons_host": algorithm._horizons_host,
-            "lr_coeff": algorithm.lr_scheduler.coeff,
-            "entropy_coeff": algorithm.entropy_scheduler.coeff,
-            "trainer_state": trainer_state or {},
-        }
-        (ckpt_dir / "host_state.json").write_text(json.dumps(host))
         # Publish: latest.json always points at a COMPLETE checkpoint,
         # even across preemptions mid-save.
         _publish_latest(directory, name, index)
@@ -180,6 +159,105 @@ def save_checkpoint(
     # Don't let other processes race ahead (e.g. into an immediate
     # restore) before process 0 publishes the new generation.
     _barrier("checkpoint_publish")
+
+
+def wait_for_checkpoint() -> None:
+    """Block until the in-flight async checkpoint (if any) is fully
+    written AND published. A no-op when no async save is pending.
+
+    COLLECTIVE in multi-process runs (every process that started the
+    async save must call it).
+    """
+    global _PENDING
+    if _PENDING is None:
+        return
+    checkpointer, directory, name, index = _PENDING
+    _PENDING = None
+    # Blocks until this process's background write commits; orbax's own
+    # cross-process barrier inside the async manager means the state
+    # tree is globally complete once every process returns from here.
+    checkpointer.wait_until_finished()
+    checkpointer.close()
+    _finalize_publish(directory, name, index)
+
+
+def save_checkpoint(
+    directory: str | os.PathLike[str],
+    algorithm: Any,
+    /,
+    *,
+    trainer_state: None | dict[str, int] = None,
+    block: bool = True,
+) -> None:
+    """Save an algorithm's full dynamic state (and optional trainer
+    counters) as a new checkpoint generation under ``directory``.
+
+    Args:
+        directory: Checkpoint directory (created if missing) — a local
+            path or an object-store URL (``gs://bucket/run1``). Holds the
+            last two generations plus ``latest.json``.
+        algorithm: An ``Algorithm``/``RecurrentAlgorithm`` instance.
+        trainer_state: Optional trainer counters to persist alongside.
+        block: ``False`` returns as soon as the state is snapshotted to
+            host memory and writes in the background — training resumes
+            immediately while serialization overlaps the next steps.
+            ``latest.json`` publication is deferred until the write
+            completes (:func:`wait_for_checkpoint`, called implicitly by
+            the next save/restore/exists and at interpreter exit), so
+            the crash-safety invariant is unchanged: an interrupted
+            async save leaves ``latest.json`` at the previous complete
+            generation.
+
+    """
+    import orbax.checkpoint as ocp
+
+    # One generation in flight at a time: a pending async save is
+    # finished (and published) before the next index is computed.
+    wait_for_checkpoint()
+
+    directory = _as_path(directory)
+    if jax.process_index() == 0:
+        directory.mkdir(parents=True, exist_ok=True)
+    latest = _latest(directory) if directory.exists() else None
+    index = (latest[0] if latest else 0) + 1
+    name = f"ckpt-{index:08d}"
+    ckpt_dir = directory / name
+    # Clear debris from a previously-interrupted save of this index.
+    if jax.process_index() == 0 and ckpt_dir.is_dir():
+        ckpt_dir.rmtree()
+    _barrier("checkpoint_begin")
+
+    if jax.process_index() == 0:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        host = {
+            "horizons_host": algorithm._horizons_host,
+            "lr_coeff": algorithm.lr_scheduler.coeff,
+            "entropy_coeff": algorithm.entropy_scheduler.coeff,
+            "trainer_state": trainer_state or {},
+        }
+        (ckpt_dir / "host_state.json").write_text(json.dumps(host))
+
+    state = _encode_rng(algorithm.state)
+    if block:
+        checkpointer = ocp.PyTreeCheckpointer()
+        # COLLECTIVE across processes (each writes its addressable
+        # shards).
+        checkpointer.save(ckpt_dir / "state", state, force=True)
+        _finalize_publish(directory, name, index)
+    else:
+        global _PENDING, _ATEXIT_REGISTERED
+        checkpointer = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        # Returns once device arrays are snapshotted to host memory;
+        # serialization + the commit barrier run on background threads.
+        checkpointer.save(ckpt_dir / "state", state, force=True)
+        _PENDING = (checkpointer, directory, name, index)
+        if not _ATEXIT_REGISTERED:
+            import atexit
+
+            # A process exiting with an unpublished generation would
+            # lose it; finish and publish on the way out.
+            atexit.register(wait_for_checkpoint)
+            _ATEXIT_REGISTERED = True
 
 
 def restore_checkpoint(
@@ -203,6 +281,7 @@ def restore_checkpoint(
     """
     import orbax.checkpoint as ocp
 
+    wait_for_checkpoint()
     directory = _as_path(directory)
     latest = _latest(directory) if directory.exists() else None
     if latest is None:

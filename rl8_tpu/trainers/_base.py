@@ -162,6 +162,7 @@ class GenericTrainerBase(Generic[_Algorithm]):
         checkpoint_dir: Any = None,
         resume: bool = True,
         checkpoint_on_preemption: bool = True,
+        async_checkpoints: bool = False,
     ) -> TrainStats:
         """Train until any stop condition is satisfied
         (``trainers/_base.py:104-174``). Runs indefinitely without stop
@@ -189,6 +190,12 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 seconds, so keep ``fused_steps`` batches shorter than
                 the grace period — the signal is only acted on between
                 device programs.
+            async_checkpoints: Write periodic checkpoints in the
+                background (orbax async): training resumes as soon as
+                the state is snapshotted to host memory, and the
+                generation is published once its write completes. All
+                checkpoints are durable by the time :meth:`run` returns.
+                The preemption checkpoint always blocks.
 
         Returns:
             The most recent train stats when training stops. When a
@@ -271,7 +278,9 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 and checkpoint_dir
                 and not (self.state["algorithm/steps"] % steps_per_checkpoint)
             ):
-                self.save_checkpoint(checkpoint_dir)
+                self.save_checkpoint(
+                    checkpoint_dir, block=not async_checkpoints
+                )
 
         monitor = None
         if checkpoint_dir and checkpoint_on_preemption:
@@ -322,15 +331,27 @@ class GenericTrainerBase(Generic[_Algorithm]):
         finally:
             if monitor is not None:
                 monitor.uninstall()
+            if async_checkpoints:
+                # Checkpoints are durable once run() returns.
+                from ..checkpoint import wait_for_checkpoint
 
-    def save_checkpoint(self, directory: Any, /) -> None:
+                wait_for_checkpoint()
+
+    def save_checkpoint(self, directory: Any, /, *, block: bool = True) -> None:
         """Persist the full training state (algorithm + trainer counters)
         for preemption-safe restarts — a capability the reference lacks
         entirely (its only persistence is the terminal policy export,
-        ``/root/reference/src/rl8/policies/_feedforward.py:178-190``)."""
+        ``/root/reference/src/rl8/policies/_feedforward.py:178-190``).
+        ``block=False`` writes in the background (see
+        :func:`rl8_tpu.checkpoint.save_checkpoint`)."""
         from ..checkpoint import save_checkpoint
 
-        save_checkpoint(directory, self.algorithm, trainer_state=dict(self.state))
+        save_checkpoint(
+            directory,
+            self.algorithm,
+            trainer_state=dict(self.state),
+            block=block,
+        )
 
     def restore_checkpoint(self, directory: Any, /) -> None:
         """Restore algorithm state and trainer counters saved by

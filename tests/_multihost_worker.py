@@ -18,6 +18,8 @@ Modes:
     preempt: SIGTERM lands on process 1 ONLY mid-``Trainer.run``; the
         preemption sync must make BOTH processes save a final collective
         checkpoint and return early.
+    asyncckpt: two back-to-back async collective saves overlapped with
+        training, then a restore of the newest generation.
 """
 
 import json
@@ -116,6 +118,26 @@ def main() -> None:
         with open(os.path.join(tmpdir, f"fault_result_{proc_id}.json"), "w") as f:
             json.dump({"status": status}, f)
         os._exit(0 if proc_id == 0 else 18)  # 18: process 1 outlived its kill
+    elif mode == "asyncckpt":
+        # Async (background) collective checkpointing: both processes
+        # save without blocking, train through the write, and the
+        # generations publish in order.
+        from rl8_tpu.checkpoint import wait_for_checkpoint
+
+        trainer.step()
+        trainer.save_checkpoint(ckpt_dir, block=False)
+        trainer.step()  # overlaps generation 1's background write
+        trainer.save_checkpoint(ckpt_dir, block=False)  # waits gen 1
+        wait_for_checkpoint()
+        trainer.restore_checkpoint(ckpt_dir)
+        result = {
+            "algorithm/steps": int(trainer.state["algorithm/steps"]),
+            "env/steps": int(trainer.state["env/steps"]),
+        }
+        with open(
+            os.path.join(tmpdir, f"asyncckpt_result_{proc_id}.json"), "w"
+        ) as f:
+            json.dump(result, f)
     elif mode == "preempt":
         import signal
 

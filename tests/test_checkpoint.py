@@ -226,6 +226,97 @@ def test_checkpoint_versioning_prunes_and_survives_partial_saves(tmp_path) -> No
     assert trainer_state == {"algorithm/steps": 4}
 
 
+def test_async_checkpoint_defers_publish_and_round_trips(tmp_path) -> None:
+    """``block=False`` snapshots the state and returns; training mutates
+    the live state while the write runs, the generation publishes on
+    :func:`wait_for_checkpoint`, and restore yields the SAVE-time
+    snapshot bit-exactly."""
+    import json
+
+    import rl8_tpu.checkpoint as ck
+
+    algo = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    algo.collect()
+    algo.step()
+    d = tmp_path / "ckpt"
+    save_checkpoint(
+        d, algo, trainer_state={"algorithm/steps": 1}, block=False
+    )
+    assert ck._PENDING is not None
+    params_saved = jax.device_get(algo.state.params)
+
+    # Training overlaps the background write.
+    algo.collect()
+    algo.step()
+
+    ck.wait_for_checkpoint()
+    assert ck._PENDING is None
+    with open(d / "latest.json") as f:
+        assert json.load(f)["checkpoint"] == "ckpt-00000001"
+
+    algo_b = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    trainer_state = restore_checkpoint(d, algo_b)
+    assert trainer_state == {"algorithm/steps": 1}
+    # The restored params are the save-time snapshot, not the values the
+    # overlapping training step produced.
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        params_saved,
+        jax.device_get(algo_b.state.params),
+    )
+
+
+def test_back_to_back_async_saves_sequence_generations(tmp_path) -> None:
+    """A second async save finishes (and publishes) the pending one
+    before starting, so generations sequence correctly; restore sees the
+    newest via its implicit wait."""
+    import json
+
+    algo = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    algo.collect()
+    algo.step()
+    d = tmp_path / "ckpt"
+    save_checkpoint(d, algo, trainer_state={"algorithm/steps": 1}, block=False)
+    algo.collect()
+    algo.step()
+    save_checkpoint(d, algo, trainer_state={"algorithm/steps": 2}, block=False)
+
+    restored = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    trainer_state = restore_checkpoint(d, restored)
+    assert trainer_state == {"algorithm/steps": 2}
+    assert int(restored.state.horizons) == 2
+    with open(d / "latest.json") as f:
+        assert json.load(f)["checkpoint"] == "ckpt-00000002"
+
+
+def test_trainer_async_checkpoints_durable_after_run(tmp_path) -> None:
+    """``Trainer.run(async_checkpoints=True)``: all periodic checkpoints
+    are published by the time run returns, and a fresh trainer resumes
+    from the final one."""
+    from rl8_tpu import Trainer
+    from rl8_tpu.checkpoint import checkpoint_exists
+    from rl8_tpu.conditions import HitsUpperBound
+
+    def make():
+        algo = AlgorithmConfig(
+            num_envs=16, horizon=4, model_config={"hiddens": (8,)}, seed=7
+        ).build(DiscreteDummyEnv)
+        return Trainer(algo)
+
+    trainer = make()
+    trainer.run(
+        stop_conditions=[HitsUpperBound("algorithm/steps", 4)],
+        steps_per_checkpoint=2,
+        checkpoint_dir=tmp_path / "ckpt",
+        async_checkpoints=True,
+    )
+    assert checkpoint_exists(tmp_path / "ckpt")
+    resumed = make()
+    resumed.restore_checkpoint(tmp_path / "ckpt")
+    assert resumed.state["algorithm/steps"] == 4
+    assert resumed.state["env/steps"] == trainer.state["env/steps"]
+
+
 def test_checkpoint_round_trips_through_url_scheme_path(tmp_path) -> None:
     """Checkpoint paths may be object-store style URLs: every host-side
     file op goes through ``etils.epath`` (the same interface ``gs://``

@@ -138,6 +138,48 @@ def test_multihost_preemption_checkpoints_both_processes(tmp_path):
 
 
 @pytest.mark.slow
+def test_multihost_async_checkpointing(tmp_path):
+    """Background (async) collective checkpointing across 2 processes:
+    both save without blocking, train through the write, the second save
+    sequences after the first, and restore lands on generation 2's
+    counters on both hosts."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(_WORKER), str(i), str(port),
+                str(tmp_path), _REPO_ROOT, "asyncckpt",
+            ],
+            env=dict(os.environ),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    with open(tmp_path / "asyncckpt_result_0.json") as f:
+        r0 = json.load(f)
+    with open(tmp_path / "asyncckpt_result_1.json") as f:
+        r1 = json.load(f)
+    assert r0 == r1
+    assert r0["algorithm/steps"] == 2  # generation 2's counters
+    with open(tmp_path / "ckpt" / "latest.json") as f:
+        assert json.load(f)["checkpoint"] == "ckpt-00000002"
+
+
+@pytest.mark.slow
 def test_multihost_checkpoint_fault_injection(tmp_path):
     """Kill one worker between the `checkpoint_begin` and
     `checkpoint_publish` barriers: the generation-2 save must NOT
