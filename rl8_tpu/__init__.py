@@ -16,7 +16,7 @@ from .algorithms import (
 from .env import Env
 from .trainers import RecurrentTrainer, TrainConfig, Trainer
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Algorithm",

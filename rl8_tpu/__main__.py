@@ -80,6 +80,18 @@ def main(argv: None | list[str] = None) -> int:
         help="Ignore any existing checkpoint in --checkpoint-dir.",
     )
     train_parser.add_argument(
+        "--async-checkpoints",
+        action="store_true",
+        help="Write periodic checkpoints in the background (training"
+        " overlaps the write; all checkpoints are durable by exit).",
+    )
+    train_parser.add_argument(
+        "--no-preemption-checkpoint",
+        action="store_true",
+        help="Don't catch SIGTERM for a final checkpoint before eviction"
+        " (on by default with --checkpoint-dir).",
+    )
+    train_parser.add_argument(
         "--mlflow",
         action="store_true",
         help="Track with MLflow instead of JSONL files.",
@@ -108,6 +120,8 @@ def main(argv: None | list[str] = None) -> int:
             args.steps_per_checkpoint if args.checkpoint_dir else None
         ),
         resume=not args.no_resume,
+        checkpoint_on_preemption=not args.no_preemption_checkpoint,
+        async_checkpoints=args.async_checkpoints,
     )
     if args.save:
         save_dir = pathlib.Path(args.save)

@@ -112,6 +112,41 @@ def test_cli_train_and_save(tmp_path) -> None:
     assert "losses/total" in record
 
 
+def test_cli_async_checkpoints(tmp_path) -> None:
+    """`--async-checkpoints` writes background checkpoints that are
+    durable (published) by the time the command exits."""
+    config = _write_yaml(
+        tmp_path,
+        "env_cls: rl8_tpu.env.DiscreteDummyEnv\n"
+        "algorithm_config:\n"
+        "  horizon: 4\n"
+        "  num_envs: 8\n"
+        "  model_config:\n"
+        "    hiddens: [8]\n",
+    )
+    ckpt_dir = tmp_path / "ckpt"
+    rc = main(
+        [
+            "train",
+            "-f",
+            config,
+            "--max-steps",
+            "2",
+            "--track-dir",
+            str(tmp_path / "track"),
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--async-checkpoints",
+        ]
+    )
+    assert rc == 0
+    from rl8_tpu.checkpoint import checkpoint_exists
+
+    assert checkpoint_exists(ckpt_dir)
+    latest = json.loads((ckpt_dir / "latest.json").read_text())
+    assert latest["checkpoint"] == "ckpt-00000002"
+
+
 def test_import_reaches_unimported_submodules(tmp_path) -> None:
     """Dotted paths into packages whose submodules aren't eagerly
     imported must resolve (regression: `__import__` only loads the top
