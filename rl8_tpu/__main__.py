@@ -80,6 +80,14 @@ def main(argv: None | list[str] = None) -> int:
         help="Ignore any existing checkpoint in --checkpoint-dir.",
     )
     train_parser.add_argument(
+        "--fused-steps",
+        type=int,
+        default=None,
+        help="Compile this many train steps into ONE device program"
+        " (Trainer.step_fused) — the dispatch-amortized throughput path."
+        " Must divide --steps-per-eval and --steps-per-checkpoint.",
+    )
+    train_parser.add_argument(
         "--async-checkpoints",
         action="store_true",
         help="Write periodic checkpoints in the background (training"
@@ -122,6 +130,7 @@ def main(argv: None | list[str] = None) -> int:
         resume=not args.no_resume,
         checkpoint_on_preemption=not args.no_preemption_checkpoint,
         async_checkpoints=args.async_checkpoints,
+        fused_steps=args.fused_steps,
     )
     if args.save:
         save_dir = pathlib.Path(args.save)

@@ -147,6 +147,38 @@ def test_cli_async_checkpoints(tmp_path) -> None:
     assert latest["checkpoint"] == "ckpt-00000002"
 
 
+def test_cli_fused_steps(tmp_path) -> None:
+    """`--fused-steps` routes through Trainer.step_fused — same stats
+    records and counters, one device program per batch."""
+    config = _write_yaml(
+        tmp_path,
+        "env_cls: rl8_tpu.env.DiscreteDummyEnv\n"
+        "algorithm_config:\n"
+        "  horizon: 4\n"
+        "  num_envs: 8\n"
+        "  model_config:\n"
+        "    hiddens: [8]\n",
+    )
+    track_dir = tmp_path / "track"
+    rc = main(
+        [
+            "train",
+            "-f",
+            config,
+            "--max-steps",
+            "4",
+            "--fused-steps",
+            "2",
+            "--track-dir",
+            str(track_dir),
+        ]
+    )
+    assert rc == 0
+    metrics = (track_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) == 4
+    assert json.loads(metrics[-1])["algorithm/steps"] == 4
+
+
 def test_import_reaches_unimported_submodules(tmp_path) -> None:
     """Dotted paths into packages whose submodules aren't eagerly
     imported must resolve (regression: `__import__` only loads the top
