@@ -113,11 +113,24 @@ def measure(
         )
         algo = config.build(AlgoTrading)
     elif recurrent:
+        # The default recurrent model is parameterized by
+        # hidden_size/num_layers rather than a hiddens tuple: map
+        # ``--hiddens W,W,...`` to an equal-width stacked LSTM.
+        if hiddens and len(set(hiddens)) > 1:
+            raise ValueError(
+                "--recurrent supports only equal-width --hiddens "
+                f"(stacked LSTM layers share hidden_size); got {hiddens}"
+            )
+        model_config = (
+            {"hidden_size": hiddens[0], "num_layers": len(hiddens)}
+            if hiddens
+            else {}
+        )
         algo = RecurrentAlgorithmConfig(
             num_envs=num_envs,
             horizon=horizon,
             mesh=mesh,
-            model_config={"hiddens": hiddens} if hiddens else {},
+            model_config=model_config,
         ).build(DiscreteDummyEnv)
     else:
         algo = AlgorithmConfig(

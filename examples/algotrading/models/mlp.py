@@ -122,7 +122,7 @@ class MischievousMule(GenericModel):
             obs = batch[DataKeys.OBS]
             emb = params["invested_embedding"]["embedding"]
             x_invested = jnp.take(emb, obs["invested"].reshape(-1), axis=0)
-            return jnp.concatenate(
+            x = jnp.concatenate(
                 [
                     x_invested,
                     obs["LOG_CHANGE(price, position)"],
@@ -130,6 +130,9 @@ class MischievousMule(GenericModel):
                 ],
                 axis=-1,
             )
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            return x
 
         def finalize(batch: Any, outs: Any) -> tuple[dict, jax.Array]:
             (logits,), (values,) = outs

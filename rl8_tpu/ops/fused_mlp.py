@@ -728,7 +728,8 @@ def _custom_spec(model: Any, cls: type = FusedApplySpec) -> Any:
     spec = get_spec()
     if spec is None or not isinstance(spec, cls):
         return None
-    if model.dtype is not None and model.dtype != jnp.bfloat16:
+    dtype = getattr(model, "dtype", None)
+    if dtype is not None and dtype != jnp.bfloat16:
         return None
     if getattr(model, "activation_fn", None) not in _ACT_FNS:
         return None

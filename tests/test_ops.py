@@ -800,6 +800,34 @@ def test_supports_fused_apply_classification() -> None:
 
     assert not supports_fused_apply(NoSpec(Unbounded(3), Discrete(2, shape=(1,))))
 
+    # A bare ``Model`` subclass (no dtype/activation_fn fields — the
+    # documented docs/custom-models.md pattern) declaring a spec must
+    # gate cleanly rather than crash on the missing attributes; without
+    # an activation_fn the kernels can't pick a backward, so it falls
+    # back unfused.
+    from rl8_tpu.models import Model
+    from rl8_tpu.ops.fused_mlp import FusedApplySpec
+
+    spec = FusedApplySpec(
+        assemble=lambda params, batch: batch,
+        finalize=lambda batch, outs: outs,
+        chain_names=(("feature_model", ("feature_head",)),),
+    )
+
+    class BareSpecModel(Model):
+        def __call__(self, batch):
+            raise NotImplementedError
+
+        def fused_apply_spec(self):
+            return spec
+
+    class ReluSpecModel(BareSpecModel):
+        activation_fn: str = "relu"
+
+    obs, act = Unbounded(3), Discrete(2, shape=(1,))
+    assert not supports_fused_apply(BareSpecModel(obs, act))
+    assert supports_fused_apply(ReluSpecModel(obs, act))
+
 
 # ----------------------------------------------------------------------
 # VMEM-aware tiling and the wide-model fallback gate
