@@ -125,6 +125,28 @@ def _barrier(name: str) -> None:
         multihost_utils.sync_global_devices(f"rl8_tpu:{name}")
 
 
+def _broadcast_index(index: int) -> int:
+    """Process 0's generation index, agreed on by every process.
+
+    Every process derives the index by reading ``latest.json``, but on
+    NFS-style shared mounts a non-zero process can read a STALE copy
+    (close-to-open consistency caches attributes for seconds) and
+    derive a different index — the collective orbax save would then
+    write shards into divergent ``ckpt-*/`` paths, corrupting both
+    generations. Object stores are strongly consistent, but the
+    broadcast is a few host bytes, so it runs for every multi-process
+    save/restore rather than guessing at mount semantics.
+    """
+    if jax.process_count() == 1:
+        return index
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return int(
+        multihost_utils.broadcast_one_to_all(np.asarray(index, np.int32))
+    )
+
+
 def _publish_latest(directory: Any, name: str, index: int) -> None:
     """Atomically point ``latest.json`` at checkpoint ``name``."""
     payload = json.dumps({"checkpoint": name, "index": index})
@@ -219,7 +241,7 @@ def save_checkpoint(
     if jax.process_index() == 0:
         directory.mkdir(parents=True, exist_ok=True)
     latest = _latest(directory) if directory.exists() else None
-    index = (latest[0] if latest else 0) + 1
+    index = _broadcast_index((latest[0] if latest else 0) + 1)
     name = f"ckpt-{index:08d}"
     ckpt_dir = directory / name
     # Clear debris from a previously-interrupted save of this index.
@@ -286,7 +308,12 @@ def restore_checkpoint(
     latest = _latest(directory) if directory.exists() else None
     if latest is None:
         raise FileNotFoundError(f"No checkpoint found under {directory}.")
-    _, ckpt_dir = latest
+    index, ckpt_dir = latest
+    # Agree on process 0's view of the newest generation (stale NFS
+    # attribute caches can lag on other hosts; see _broadcast_index).
+    agreed = _broadcast_index(index)
+    if agreed != index:
+        ckpt_dir = directory / f"ckpt-{agreed:08d}"
     checkpointer = ocp.PyTreeCheckpointer()
     template = _encode_rng(algorithm.state)
     # Per-leaf restore args carry the TEMPLATE's shardings, so orbax
