@@ -334,7 +334,11 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         # auto-partitioned by GSPMD, so the exact-sharding mode (and CPU)
         # falls back to the XLA implementations.
         on_tpu = jax.local_devices()[0].platform == "tpu"
-        self._use_pallas_gae = on_tpu and not sharded_exact
+        from ..ops.gae import gae_fits_vmem
+
+        self._use_pallas_gae = (
+            on_tpu and not sharded_exact and gae_fits_vmem(self.hparams.horizon)
+        )
         from ..ops.fused_mlp import model_fits_vmem, supports_fused_apply
         from ..ops.fused_ppo import supports_fused_update
 

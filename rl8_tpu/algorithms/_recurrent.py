@@ -255,7 +255,11 @@ class RecurrentAlgorithm(
         # The fused Pallas kernels run per shard under shard_map but
         # can't be auto-partitioned by GSPMD exact mode.
         on_tpu = jax.local_devices()[0].platform == "tpu"
-        self._use_pallas_gae = not sharded_exact and on_tpu
+        from ..ops.gae import gae_fits_vmem
+
+        self._use_pallas_gae = (
+            not sharded_exact and on_tpu and gae_fits_vmem(self.hparams.horizon)
+        )
         from ..distributions import SquashedNormal
         from ..ops.fused_rnn_ppo import supports_fused_rnn_update
 

@@ -6,7 +6,7 @@ where a single fused kernel beats what XLA schedules — currently the
 reverse-time GAE scan.
 """
 
-from .gae import pallas_gae
+from .gae import gae_fits_vmem, pallas_gae
 from .packing import RowUnpacker, pack_rows
 
-__all__ = ["RowUnpacker", "pack_rows", "pallas_gae"]
+__all__ = ["RowUnpacker", "gae_fits_vmem", "pack_rows", "pallas_gae"]

@@ -30,9 +30,6 @@ from .fused_mlp import (
     _chain_sizes,
     _flatten_params,
     _forward_block,
-    _head,
-    _mlp_layers,
-    _row_tile,
 )
 
 from .distmath import (

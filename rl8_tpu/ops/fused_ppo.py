@@ -36,11 +36,8 @@ from .fused_mlp import (
     _chains_backward,
     _flatten_params,
     _forward_block,
-    _head,
     _make_acc,
-    _mlp_layers,
     _row_mask,
-    _row_tile,
 )
 
 from .distmath import log_softmax_rows, normal_per_dim_logp, squashed_normal_logp
@@ -363,12 +360,6 @@ def _continuous_kernel(
     acc(stats_ref, stats)
 
 
-def _leaf_index_tree(unpacker: Any) -> Any:
-    return jax.tree_util.tree_unflatten(
-        unpacker.treedef, list(range(len(unpacker.metas)))
-    )
-
-
 def fused_ppo_grads(
     model: Any,
     params: Any,
@@ -412,7 +403,7 @@ def fused_ppo_grads(
         " padding mask is keyed on n_rows, so extra pre-padded rows"
         " would be summed into gradients unmasked"
     )
-    idx = _leaf_index_tree(unpacker)
+    idx = unpacker.leaf_index_tree()
     metas = unpacker.metas
 
     def _cols(leaf_idx: int) -> tuple[int, int]:

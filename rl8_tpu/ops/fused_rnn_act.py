@@ -145,7 +145,21 @@ def fused_rnn_act(
     heads = _head_params(params, head_names)
 
     bsz = obs.shape[0]
-    tile = min(2048, -(-bsz // 8) * 8)
+    # Footprint-aware row tile (cf. fused_mlp._chain_tile): the four
+    # [tile, K*H] state blocks dominate and are double-buffered by the
+    # Pallas pipeline; per-layer gate transients add ~8H per row. Deep
+    # or wide stacks (e.g. K=8, H=256) shrink the tile instead of
+    # overshooting vmem_limit_bytes; the default config (K=1, H=256)
+    # still gets the full 2048 rows.
+    from .fused_mlp import _VMEM_TOTAL_BUDGET
+
+    resident = 4 * sum(int(p.size) for p in (*lstm_params, *heads))
+    row_bytes = 4 * (
+        2 * (obs.shape[1] + 4 * K * H + action_dim + 2) + 8 * H
+    )
+    budget = max(4 * 1024 * 1024, _VMEM_TOTAL_BUDGET - resident)
+    tile = max(8, min(2048, budget // row_bytes // 8 * 8))
+    tile = min(tile, -(-bsz // 8) * 8)
     grid = (pl.cdiv(bsz, tile),)
     kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
     seed = jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)

@@ -120,6 +120,14 @@ def supports_fused_rnn_update(
         return False
     if not (ok and 1 <= model.num_layers <= 8 and bool(model.bias)):
         return False
+    # The packed-row transport bitcasts observation columns back as f32
+    # (``ops/packing.py``), which is only meaningful for float
+    # observations — int/bool bit patterns would reinterpret as denormal
+    # garbage (same gate as ``fused_mlp.supports_fused_apply``).
+    if not jnp.issubdtype(
+        jnp.dtype(model.observation_spec.dtype), jnp.floating
+    ):
+        return False
     # Weight-residency gate, mirroring fused_mlp.chains_fit_vmem: the
     # kernel holds every LSTM/head parameter AND its gradient
     # accumulator in VMEM, so very wide cells (H >= ~2048) must fall
@@ -132,11 +140,22 @@ def supports_fused_rnn_update(
     return 2 * 4 * param_f32s <= _VMEM_TOTAL_BUDGET - 8 * 1024 * 1024
 
 
-def _rnn_tile(n: int, hidden: int, seq_len: int, num_layers: int) -> int:
+def _rnn_tile(
+    n: int,
+    hidden: int,
+    seq_len: int,
+    num_layers: int,
+    resident_bytes: int = 0,
+) -> int:
     """Row-tile size bounded by the BPTT saves: the backward holds ~8
     f32 ``[tile, H]`` tensors per (timestep, layer) in VMEM, so the tile
     shrinks with ``hidden * seq_len * num_layers`` to stay within the
-    kernel's VMEM budget for any supported config.
+    kernel's VMEM budget for any supported config. ``resident_bytes``
+    (parameters + gradient accumulators + transposed head weights, all
+    grid-invariant) is charged against the total budget first —
+    mirroring ``fused_mlp._chain_tile`` — so mid-width stacks that pass
+    the weight-residency gate shrink their saves instead of overshooting
+    ``vmem_limit_bytes``.
 
     The 2-layer default config additionally caps the tile at 256:
     measured on a v5e (H=256, seq_len=4, default recurrent config) the
@@ -147,7 +166,15 @@ def _rnn_tile(n: int, hidden: int, seq_len: int, num_layers: int) -> int:
     extra grid steps outweigh the headroom (tile 384: 122.7 ms vs 256:
     125.2 ms), so the cap applies to exactly the 2-layer case.
     """
-    budget = 48 * 1024 * 1024  # leave room for weights/gates/douts
+    from .fused_mlp import _VMEM_TOTAL_BUDGET
+
+    # Saves get at most the measured 48MB sweet spot, less whatever the
+    # residents eat out of the total budget (gates/douts transients ride
+    # the total-vs-limit slack).
+    budget = max(
+        4 * 1024 * 1024,
+        min(48 * 1024 * 1024, _VMEM_TOTAL_BUDGET - resident_bytes),
+    )
     per_row = 8 * 4 * hidden * seq_len * num_layers
     cap = 256 if num_layers == 2 else 512
     tile = max(8, min(cap, (budget // max(per_row, 1)) // 8 * 8))
@@ -405,12 +432,6 @@ def _kernel(
     _acc(stats_ref, stats)
 
 
-def _leaf_index_tree(unpacker: Any) -> Any:
-    return jax.tree_util.tree_unflatten(
-        unpacker.treedef, list(range(len(unpacker.metas)))
-    )
-
-
 def fused_rnn_ppo_grads(
     model: Any,
     params: Any,
@@ -440,7 +461,7 @@ def fused_rnn_ppo_grads(
         " padding mask is keyed on n_rows, so extra pre-padded rows"
         " would be summed into gradients unmasked"
     )
-    idx = _leaf_index_tree(unpacker)
+    idx = unpacker.leaf_index_tree()
     metas = unpacker.metas
 
     def _cols(leaf_idx: int) -> tuple[int, int]:
@@ -469,7 +490,13 @@ def fused_rnn_ppo_grads(
     rows = packed_mb.shape[0]
     # seq_len from the logp column width.
     L = cols[4][1] - cols[4][0]
-    tile = _rnn_tile(rows, H, L, K)
+    # Grid-invariant VMEM residents: every LSTM/head parameter plus its
+    # gradient accumulator, plus the pre-transposed head weights.
+    resident = 4 * (
+        2 * sum(int(p.size) for p in (*lstm_params, *heads))
+        + sum(int(w.size) for w in head_wts)
+    )
+    tile = _rnn_tile(rows, H, L, K, resident_bytes=resident)
     grid = (pl.cdiv(rows, tile),)
     ec = jnp.asarray(entropy_coeff, dtype=jnp.float32).reshape(1, 1)
 

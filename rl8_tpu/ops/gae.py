@@ -22,10 +22,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_gae"]
+__all__ = ["gae_fits_vmem", "pallas_gae"]
 
 # Env-batch tile width: a multiple of the 128-lane VPU width.
 _BLOCK_B = 512
+
+
+def gae_fits_vmem(horizon: int) -> bool:
+    """Whether the kernel's working set fits scoped VMEM for ``horizon``.
+
+    The kernel holds the whole time axis resident — rewards ``[T, 512]``,
+    values ``[T+1, 512]``, advantages and returns ``[T, 512]`` — and the
+    Pallas pipeline double-buffers the row-tiled blocks, so the footprint
+    grows linearly with the horizon against the default 16MB scoped-VMEM
+    budget. Callers fall back to the XLA scan beyond it (very large
+    horizons are outside the infinite-horizon design's envelope anyway —
+    the examples cap at 128–512).
+    """
+    working = (4 * horizon + 1) * _BLOCK_B * 4
+    return 2 * working <= 12 * 1024 * 1024
 
 
 def _gae_kernel(

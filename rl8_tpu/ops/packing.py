@@ -63,6 +63,14 @@ class RowUnpacker:
             leaves.append(col.reshape(rows, *m.shape).astype(m.dtype))
         return jax.tree_util.tree_unflatten(self.treedef, leaves)
 
+    def leaf_index_tree(self) -> Any:
+        """The packed tree's structure with each leaf replaced by its
+        index into :attr:`metas` — how the fused kernels look up a
+        leaf's packed column range by key."""
+        return jax.tree_util.tree_unflatten(
+            self.treedef, list(range(len(self.metas)))
+        )
+
 
 def pack_rows(tree: Any) -> tuple[jax.Array, RowUnpacker]:
     """Pack a pytree of ``[N, ...]`` arrays into one ``[N, D]`` int32

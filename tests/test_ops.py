@@ -536,6 +536,40 @@ def test_supports_fused_rnn_update_gating() -> None:
         Unbounded(3), Discrete(3, shape=(1,)), num_layers=9
     )
     assert not supports_fused_rnn_update(too_deep, Categorical)
+    # Integer observations can't ride the packed-row f32 bitcast
+    # transport (same gate as the feedforward kernels).
+    int_obs = DefaultDiscreteRecurrentModel(
+        Unbounded(3, dtype=jnp.int32), Discrete(3, shape=(1,))
+    )
+    assert not supports_fused_rnn_update(int_obs, Categorical)
+    # Very wide cells fail weight residency and fall back.
+    wide = DefaultDiscreteRecurrentModel(
+        Unbounded(3), Discrete(3, shape=(1,)), hidden_size=2048
+    )
+    assert not supports_fused_rnn_update(wide, Categorical)
+
+
+def test_vmem_aware_tiles_shrink_for_big_configs() -> None:
+    """The recurrent tile helpers charge residents/width against the
+    VMEM budget: defaults keep their measured tiles, deep/wide configs
+    shrink rather than overshooting ``vmem_limit_bytes``."""
+    from rl8_tpu.ops.fused_rnn_ppo import _rnn_tile
+    from rl8_tpu.ops.gae import gae_fits_vmem
+
+    # Default recurrent config: unchanged by the resident charge.
+    small_resident = 4 * 2 * (4 * 256 * (3 + 256 + 1))
+    assert _rnn_tile(8192, 256, 4, 1, resident_bytes=small_resident) == 512
+    # H=768, L=2 passes the weight-residency gate (~57MB residents) but
+    # must shrink its BPTT saves below the leftover budget.
+    resident = 4 * 2 * (4 * 768 * (3 + 768 + 1) + 4 * 768 * (2 * 768 + 1))
+    tile = _rnn_tile(8192, 768, 4, 2, resident_bytes=resident)
+    saves = tile * 8 * 4 * 768 * 4 * 2
+    assert resident + saves <= 88 * 1024 * 1024
+    assert tile >= 8
+
+    assert gae_fits_vmem(32)
+    assert gae_fits_vmem(512)
+    assert not gae_fits_vmem(8192)
 
 
 @pytest.mark.slow
