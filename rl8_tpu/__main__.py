@@ -71,8 +71,10 @@ def main(argv: None | list[str] = None) -> int:
     train_parser.add_argument(
         "--steps-per-checkpoint",
         type=int,
-        default=1,
-        help="Trainer steps between checkpoints (with --checkpoint-dir).",
+        default=None,
+        help="Trainer steps between checkpoints (with --checkpoint-dir)."
+        " Defaults to every step, or every fused batch with"
+        " --fused-steps.",
     )
     train_parser.add_argument(
         "--no-resume",
@@ -106,6 +108,17 @@ def main(argv: None | list[str] = None) -> int:
     )
     args = parser.parse_args(argv)
 
+    if args.command == "train" and not args.checkpoint_dir:
+        # Checkpoint knobs without a destination would otherwise be
+        # silently ignored — the user believes checkpoints are being
+        # written when nothing ever is.
+        for flag, value in (
+            ("--async-checkpoints", args.async_checkpoints),
+            ("--steps-per-checkpoint", args.steps_per_checkpoint),
+        ):
+            if value:
+                parser.error(f"{flag} requires --checkpoint-dir")
+
     config = TrainConfig.from_file(args.file)
     if args.mlflow:
         import mlflow
@@ -125,7 +138,11 @@ def main(argv: None | list[str] = None) -> int:
         stop_conditions=[HitsUpperBound("algorithm/steps", args.max_steps)],
         checkpoint_dir=args.checkpoint_dir,
         steps_per_checkpoint=(
-            args.steps_per_checkpoint if args.checkpoint_dir else None
+            # Default cadence: every step, or every fused batch — the
+            # finest cadence run() accepts with --fused-steps.
+            (args.steps_per_checkpoint or args.fused_steps or 1)
+            if args.checkpoint_dir
+            else None
         ),
         resume=not args.no_resume,
         checkpoint_on_preemption=not args.no_preemption_checkpoint,

@@ -93,20 +93,38 @@ def _latest(directory: Any) -> tuple[int, Any] | None:
     return None
 
 
-def checkpoint_exists(directory: str | os.PathLike[str], /) -> bool:
+def checkpoint_exists(
+    directory: str | os.PathLike[str], /, *, agree: bool = False
+) -> bool:
     """Whether ``directory`` holds a complete checkpoint written by
     :func:`save_checkpoint` (``latest.json`` is published atomically
     after a checkpoint finishes, so it only ever points at complete
-    state)."""
-    wait_for_checkpoint()
+    state).
+
+    In single-process runs a pending async save is finished (and
+    published) first. In multi-process runs this is a LOCAL read — safe
+    to call from any subset of processes — so an unpublished async save
+    doesn't count until a collective call (the next collective
+    save/restore, :func:`wait_for_checkpoint`, or interpreter exit)
+    publishes it. Pass ``agree=True`` (COLLECTIVE: every process must
+    call) to return process 0's answer everywhere — on NFS-style shared
+    mounts another host's attribute cache can lag a just-published
+    ``latest.json``, and resume decisions must not diverge across hosts.
+    """
+    if jax.process_count() == 1:
+        wait_for_checkpoint()
     directory = _as_path(directory)
-    if not directory.exists():
-        return False
-    latest = _latest(directory)
-    if latest is None:
-        return False
-    _, sub = latest
-    return (sub / "host_state.json").exists() and (sub / "state").is_dir()
+    exists = False
+    if directory.exists():
+        latest = _latest(directory)
+        if latest is not None:
+            _, sub = latest
+            exists = (sub / "host_state.json").exists() and (
+                sub / "state"
+            ).is_dir()
+    if agree:
+        exists = bool(_broadcast_index(int(exists)))
+    return exists
 
 
 def _encode_rng(state: Any) -> Any:
@@ -195,10 +213,25 @@ def wait_for_checkpoint() -> None:
         return
     checkpointer, directory, name, index = _PENDING
     _PENDING = None
-    # Blocks until this process's background write commits; orbax's own
-    # cross-process barrier inside the async manager means the state
-    # tree is globally complete once every process returns from here.
-    checkpointer.wait_until_finished()
+    try:
+        # Blocks until this process's background write commits; orbax's
+        # own cross-process barrier inside the async manager means the
+        # state tree is globally complete once every process returns
+        # from here.
+        checkpointer.wait_until_finished()
+    except Exception as e:
+        # The failure belongs to the async save, not to whichever later
+        # call happened to flush it. latest.json was never repointed, so
+        # the previous complete generation still restores.
+        import contextlib
+
+        with contextlib.suppress(Exception):
+            checkpointer.close()
+        raise RuntimeError(
+            f"Background write of checkpoint {name!r} under {directory}"
+            " failed; latest.json still points at the previous complete"
+            " generation."
+        ) from e
     checkpointer.close()
     _finalize_publish(directory, name, index)
 
@@ -306,13 +339,20 @@ def restore_checkpoint(
     wait_for_checkpoint()
     directory = _as_path(directory)
     latest = _latest(directory) if directory.exists() else None
-    if latest is None:
+    # Agree on process 0's view of the newest generation BEFORE acting
+    # on the local read (stale NFS attribute caches can lag on other
+    # hosts; see _broadcast_index) — a stale host raising here while
+    # process 0 waits in the broadcast would hang the job. -1 encodes
+    # "nothing found", 0 the legacy flat layout, >=1 a versioned
+    # generation.
+    agreed = _broadcast_index(latest[0] if latest is not None else -1)
+    if agreed < 0:
         raise FileNotFoundError(f"No checkpoint found under {directory}.")
-    index, ckpt_dir = latest
-    # Agree on process 0's view of the newest generation (stale NFS
-    # attribute caches can lag on other hosts; see _broadcast_index).
-    agreed = _broadcast_index(index)
-    if agreed != index:
+    if latest is not None and agreed == latest[0]:
+        ckpt_dir = latest[1]
+    elif agreed == 0:
+        ckpt_dir = directory  # legacy flat layout
+    else:
         ckpt_dir = directory / f"ckpt-{agreed:08d}"
     checkpointer = ocp.PyTreeCheckpointer()
     template = _encode_rng(algorithm.state)

@@ -251,12 +251,21 @@ class GenericTrainerBase(Generic[_Algorithm]):
             raise ValueError(
                 "`steps_per_checkpoint` requires a `checkpoint_dir`."
             )
+        if async_checkpoints and not checkpoint_dir:
+            raise ValueError(
+                "`async_checkpoints` requires a `checkpoint_dir` (there is"
+                " nothing to write in the background without one)."
+            )
         eval_env_config = eval_env_config or env_config
         stop_conditions = stop_conditions or []
         if checkpoint_dir and resume:
             from ..checkpoint import checkpoint_exists
 
-            if checkpoint_exists(checkpoint_dir):
+            # agree=True: every process resumes iff process 0 sees the
+            # checkpoint — a per-host decision on a shared mount with
+            # stale attribute caches would split the job between the
+            # restore collectives and the first training step.
+            if checkpoint_exists(checkpoint_dir, agree=True):
                 self.restore_checkpoint(checkpoint_dir)
                 # A restart of an already-finished job must not train
                 # past its bound: evaluate counter-based stop conditions
@@ -288,10 +297,15 @@ class GenericTrainerBase(Generic[_Algorithm]):
 
             monitor = PreemptionMonitor().install()
 
-        def _preempted() -> bool:
+        def _preempt_save() -> bool:
             # COLLECTIVE in multi-process runs — every process reaches
             # this call at the same (deterministic) step boundaries.
-            return monitor is not None and monitor.preempted()
+            if monitor is not None and monitor.preempted():
+                # Always blocking: the process is about to exit, so
+                # there is no training to overlap an async write with.
+                self.save_checkpoint(checkpoint_dir)
+                return True
+            return False
 
         try:
             if fused_steps and fused_steps > 1:
@@ -302,8 +316,7 @@ class GenericTrainerBase(Generic[_Algorithm]):
                         if any(c(train_stats) for c in stop_conditions):
                             _maybe_checkpoint()
                             return train_stats
-                    if _preempted():
-                        self.save_checkpoint(checkpoint_dir)
+                    if _preempt_save():
                         return train_stats
                     _maybe_checkpoint()
                     if steps_per_eval and not (
@@ -311,8 +324,7 @@ class GenericTrainerBase(Generic[_Algorithm]):
                     ):
                         self.eval(env_config=eval_env_config)
             train_stats = self.step(env_config=env_config)
-            if _preempted():
-                self.save_checkpoint(checkpoint_dir)
+            if _preempt_save():
                 return train_stats
             _maybe_checkpoint()
             while not any(
@@ -323,8 +335,7 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 ):
                     self.eval(env_config=eval_env_config)
                 train_stats = self.step(env_config=env_config)
-                if _preempted():
-                    self.save_checkpoint(checkpoint_dir)
+                if _preempt_save():
                     return train_stats
                 _maybe_checkpoint()
             return train_stats

@@ -409,3 +409,55 @@ def test_cross_topology_restore_bit_exact(tmp_path) -> None:
     assert_state_equal(algo8.state.params, algo1.state.params)
     assert_state_equal(algo8.state.buffer, algo1.state.buffer)
     algo1.step()
+
+
+def test_wait_for_checkpoint_attributes_background_failure(tmp_path) -> None:
+    """A failed async write surfaces as a RuntimeError naming the
+    checkpoint generation (not as an error blamed on whichever later
+    call flushed it), the checkpointer is closed, and the pending slot
+    is cleared so later calls don't re-raise."""
+    from rl8_tpu import checkpoint as ck
+
+    class Boom:
+        closed = False
+
+        def wait_until_finished(self):
+            raise OSError("disk full")
+
+        def close(self):
+            self.closed = True
+
+    boom = Boom()
+    assert ck._PENDING is None
+    ck._PENDING = (boom, ck._as_path(str(tmp_path)), "ckpt-00000001", 1)
+    with pytest.raises(RuntimeError, match="ckpt-00000001"):
+        ck.wait_for_checkpoint()
+    assert boom.closed
+    assert ck._PENDING is None
+    ck.wait_for_checkpoint()  # no-op; the failure isn't raised twice
+    # The never-published generation doesn't count as a checkpoint.
+    assert not ck.checkpoint_exists(tmp_path)
+
+
+def test_checkpoint_exists_agree_single_process(tmp_path) -> None:
+    """`agree=True` (the trainer's multi-host resume decision) matches
+    the local answer in single-process runs."""
+    from rl8_tpu.checkpoint import checkpoint_exists
+
+    assert not checkpoint_exists(tmp_path / "ckpt", agree=True)
+    algo = AlgorithmConfig(**CFG).build(DiscreteDummyEnv)
+    algo.collect()
+    algo.step()
+    save_checkpoint(tmp_path / "ckpt", algo)
+    assert checkpoint_exists(tmp_path / "ckpt", agree=True)
+
+
+def test_run_async_checkpoints_requires_dir() -> None:
+    from rl8_tpu import AlgorithmConfig, Trainer
+    from rl8_tpu.env import DiscreteDummyEnv
+
+    algo = AlgorithmConfig(
+        num_envs=16, horizon=4, model_config={"hiddens": (8,)}
+    ).build(DiscreteDummyEnv)
+    with pytest.raises(ValueError, match="async_checkpoints"):
+        Trainer(algo).run(async_checkpoints=True)

@@ -272,3 +272,48 @@ def test_zero_minibatch_size_rejected() -> None:
             sgd_minibatch_size=0,
             model_config={"hiddens": (8,)},
         ).build(DiscreteDummyEnv)
+
+
+def test_cli_fused_steps_with_default_checkpoint_cadence(tmp_path) -> None:
+    """--fused-steps with --checkpoint-dir and NO explicit
+    --steps-per-checkpoint defaults the checkpoint cadence to the fused
+    batch size instead of crashing on the divisibility check."""
+    config = _write_yaml(
+        tmp_path,
+        "env_cls: rl8_tpu.env.DiscreteDummyEnv\n"
+        "algorithm_config:\n"
+        "  horizon: 4\n"
+        "  num_envs: 8\n"
+        "  model_config:\n"
+        "    hiddens: [8]\n",
+    )
+    ckpt_dir = tmp_path / "ckpt"
+    rc = main(
+        [
+            "train",
+            "-f",
+            config,
+            "--max-steps",
+            "4",
+            "--fused-steps",
+            "2",
+            "--checkpoint-dir",
+            str(ckpt_dir),
+            "--track-dir",
+            str(tmp_path / "track"),
+        ]
+    )
+    assert rc == 0
+    from rl8_tpu.checkpoint import checkpoint_exists
+
+    assert checkpoint_exists(ckpt_dir)
+
+
+def test_cli_checkpoint_flags_require_checkpoint_dir(tmp_path) -> None:
+    """Checkpoint knobs without --checkpoint-dir error out loudly instead
+    of being silently ignored."""
+    config = _write_yaml(tmp_path, "env_cls: rl8_tpu.env.DiscreteDummyEnv\n")
+    with pytest.raises(SystemExit):
+        main(["train", "-f", config, "--async-checkpoints"])
+    with pytest.raises(SystemExit):
+        main(["train", "-f", config, "--steps-per-checkpoint", "2"])
