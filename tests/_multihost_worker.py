@@ -20,6 +20,10 @@ Modes:
         checkpoint and return early.
     asyncckpt: two back-to-back async collective saves overlapped with
         training, then a restore of the newest generation.
+    stale: process 1's ``latest.json`` reads are faked to return nothing
+        (an NFS attribute cache lagging a just-published generation);
+        the ``agree=True`` existence check, the restore, and the next
+        save must all follow process 0's view instead of diverging.
 """
 
 import json
@@ -168,6 +172,31 @@ def main() -> None:
             os.path.join(tmpdir, f"preempt_result_{proc_id}.json"), "w"
         ) as f:
             json.dump(result, f)
+    elif mode == "stale":
+        import rl8_tpu.checkpoint as ck
+        from rl8_tpu.checkpoint import checkpoint_exists
+
+        trainer.step()
+        trainer.save_checkpoint(ckpt_dir)  # generation 1, complete
+
+        if proc_id == 1:
+            # Simulate a stale shared-mount attribute cache: this host
+            # cannot see latest.json (or the legacy fallback) at all.
+            ck._latest = lambda directory: None
+
+        local = checkpoint_exists(ckpt_dir)  # differs across hosts
+        agreed = checkpoint_exists(ckpt_dir, agree=True)  # must not
+        # The stale host restores the generation process 0 names.
+        trainer.restore_checkpoint(ckpt_dir)
+        restored = dict(trainer.state)
+        trainer.step()
+        # The next save's index must also follow process 0 (a stale
+        # local read would compute generation 1 again and collide).
+        trainer.save_checkpoint(ckpt_dir)
+        with open(os.path.join(tmpdir, f"stale_result_{proc_id}.json"), "w") as f:
+            json.dump(
+                {"local": local, "agreed": agreed, "restored": restored}, f
+            )
     elif mode == "resume":
         trainer.restore_checkpoint(ckpt_dir)
         restored = dict(trainer.state)

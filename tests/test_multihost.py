@@ -253,3 +253,52 @@ def test_multihost_checkpoint_fault_injection(tmp_path):
     assert r0["after"]["algorithm/steps"] == 2
     with open(tmp_path / "ckpt" / "latest.json") as f:
         assert json.load(f)["checkpoint"] == "ckpt-00000002"
+
+
+@pytest.mark.slow
+def test_multihost_stale_latest_view_follows_process_zero(tmp_path):
+    """Fault-inject a stale shared-mount view on process 1 (its
+    ``latest.json`` reads return nothing): the agreed existence check,
+    the restore, and the NEXT save must all follow process 0's view —
+    a per-host decision would split the job between mismatched
+    collectives (``rl8_tpu/checkpoint.py`` ``_broadcast_index``)."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(_WORKER), str(i), str(port),
+                str(tmp_path), _REPO_ROOT, "stale",
+            ],
+            env=dict(os.environ),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    with open(tmp_path / "stale_result_0.json") as f:
+        r0 = json.load(f)
+    with open(tmp_path / "stale_result_1.json") as f:
+        r1 = json.load(f)
+    # The staleness is real: the hosts' local reads DISAGREE...
+    assert r0["local"] is True and r1["local"] is False
+    # ...but the agreed answer and the restored counters match.
+    assert r0["agreed"] is True and r1["agreed"] is True
+    assert r0["restored"] == r1["restored"]
+    assert r0["restored"]["algorithm/steps"] == 1
+    # The post-restore save followed process 0's index: generation 2,
+    # not a collision back onto generation 1.
+    with open(tmp_path / "ckpt" / "latest.json") as f:
+        assert json.load(f)["checkpoint"] == "ckpt-00000002"
