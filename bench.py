@@ -42,11 +42,15 @@ CARTPOLE_BASELINE_SECONDS = 10.0
 
 def _throughput(algo, num_envs: int, horizon: int, iters: int = 20) -> float:
     algo.train_steps(iters)  # warm the compile cache
-    start = time.perf_counter()
     # train_steps converts stats to host floats, which blocks on the
     # device work, so the wall clock is an honest end-to-end measure.
-    algo.train_steps(iters)
-    elapsed = time.perf_counter() - start
+    # Best of 3 repeats: remote-tunnel/host contention can dip a single
+    # sample 2x; the sustained rate is what the config can hold.
+    elapsed = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        algo.train_steps(iters)
+        elapsed = min(elapsed, time.perf_counter() - start)
     return num_envs * horizon * iters / elapsed
 
 

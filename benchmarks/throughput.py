@@ -20,6 +20,13 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from typing import Callable
+
+
+def _timed(fn: Callable[[], object]) -> float:
+    start = time.perf_counter()
+    fn()
+    return time.perf_counter() - start
 
 
 def _algotrading_config(
@@ -140,9 +147,12 @@ def measure(
             model_config={"hiddens": hiddens} if hiddens else {},
         ).build(DiscreteDummyEnv)
     algo.train_steps(iters)  # warm the compile cache
-    start = time.perf_counter()
-    algo.train_steps(iters)
-    elapsed = time.perf_counter() - start
+    # Best of 3 timed repeats: remote-tunnel/host contention can dip a
+    # single sample 2x, and the sustained rate is the max a config can
+    # hold, not whichever sample the noise hit.
+    elapsed = min(
+        _timed(lambda: algo.train_steps(iters)) for _ in range(3)
+    )
     return {
         "transitions_per_s": num_envs * horizon * iters / elapsed,
         "ms_per_iteration": elapsed / iters * 1e3,
