@@ -6,6 +6,16 @@ Counterpart of the reference's MLflow pyfunc models
 predictions from NumPy inputs as DataFrames. The same classes plug into
 ``mlflow.pyfunc`` when MLflow is installed (they implement
 ``load_context``/``predict`` duck-typed), but they work standalone.
+
+TPU-native serving: where the reference's predict runs eager PyTorch
+(any batch shape, per-op dispatch), these wrappers jit the
+deterministic sample once and **bucket request batch sizes to the next
+power of two** (edge-padded rows, sliced off after) so a serving
+process compiles O(log max-batch) programs instead of one per distinct
+request size — compiles on TPU cost tens of seconds, while padding at
+most doubles a request's (tiny) compute. Distinct sequence lengths
+``T`` still compile separately: view requirements are static gathers
+over the time axis by design.
 """
 
 from __future__ import annotations
@@ -60,6 +70,36 @@ def _resolve_model_input(context: Any, model_input: Any, cls_name: str) -> tuple
             f" {type(model_input).__name__} instead."
         )
     return context, model_input
+
+
+def _bucket(n: int, /) -> int:
+    """Next power of two >= ``n`` (min 8): bounds the number of distinct
+    jit-compiled serving programs to O(log max-batch)."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_rows(tree: Any, target: int, /) -> Any:
+    """Edge-pad every leaf's leading (batch) dim to ``target`` rows.
+
+    Edge replication (not zeros) keeps padding rows *valid* inputs —
+    e.g. an all-zero action mask would make every action -inf for the
+    padded rows — so no NaNs can leak out of rows that are sliced off
+    anyway.
+    """
+
+    def pad(x: Any) -> Any:
+        arr = np.asarray(x)
+        if arr.shape[0] == target:
+            return arr
+        widths = [(0, target - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, widths, mode="edge")
+
+    import jax
+
+    return jax.tree_util.tree_map(pad, tree)
 
 
 def _to_dataframe(batch: dict[str, Any], n_rows: int) -> Any:
@@ -117,30 +157,58 @@ class PolicyModel:
         ``(context, model_input, params)`` positionally (the reference
         signature, ``policies/_feedforward.py:255``); standalone callers
         may pass just the model input as the single argument.
+
+        The sample runs as one jitted program; request batch sizes are
+        bucketed to the next power of two (edge-padded, sliced off) so
+        a serving process compiles O(log max-batch) programs total.
         """
         context, model_input = _resolve_model_input(
             context, model_input, type(self).__name__
         )
         obs = model_input[DataKeys.OBS]
         B, T = get_batch_size_from_model_input(obs)
+        obs = _pad_rows(obs, _bucket(B))
         batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}
-        out = self.policy.sample(
-            self.params,
-            batch,
-            kind="all",
-            deterministic=True,
-            return_actions=True,
-            return_logp=True,
-            return_values=True,
-        )
-        selected = {
-            DataKeys.ACTIONS: out[DataKeys.ACTIONS],
-            DataKeys.LOGP: out[DataKeys.LOGP],
-            DataKeys.VALUES: out[DataKeys.VALUES],
+        selected = self._sample_fn(self.params, batch)
+        # Sample-dropping view requirements shrink the output batch;
+        # kind="all" flattens batch-major, so the true batch's rows are
+        # the first B * T' rows and the padding slices off the tail.
+        rows_per_b = T - self.policy.model.drop_size
+        selected = {k: v[: B * rows_per_b] for k, v in selected.items()}
+        return _to_dataframe(selected, B * rows_per_b)
+
+    @property
+    def _sample_fn(self) -> Any:
+        """The jitted deterministic sample (built lazily; jax caches one
+        compiled program per padded input shape)."""
+        fn = self.__dict__.get("_jit_sample")
+        if fn is None:
+            import jax
+
+            def _sample(params: Any, batch: Any) -> dict[str, Any]:
+                out = self.policy.sample(
+                    params,
+                    batch,
+                    kind="all",
+                    deterministic=True,
+                    return_actions=True,
+                    return_logp=True,
+                    return_values=True,
+                )
+                return {
+                    DataKeys.ACTIONS: out[DataKeys.ACTIONS],
+                    DataKeys.LOGP: out[DataKeys.LOGP],
+                    DataKeys.VALUES: out[DataKeys.VALUES],
+                }
+
+            fn = self.__dict__["_jit_sample"] = jax.jit(_sample)
+        return fn
+
+    def __getstate__(self) -> dict[str, Any]:
+        # Jitted callables don't pickle; rebuilt lazily after load.
+        return {
+            k: v for k, v in self.__dict__.items() if k != "_jit_sample"
         }
-        # Sample-dropping view requirements shrink the output batch.
-        rows = B * (T - self.policy.model.drop_size)
-        return _to_dataframe(selected, rows)
 
 
 class RecurrentPolicyModel:
@@ -178,32 +246,68 @@ class RecurrentPolicyModel:
 
         Accepts MLflow's positional ``(context, model_input, params)``
         order or a standalone single-argument model input.
+
+        The sample runs as one jitted program; request batch sizes are
+        bucketed to the next power of two (edge-padded obs AND states,
+        sliced off) so a serving process compiles O(log max-batch)
+        programs total.
         """
         context, model_input = _resolve_model_input(
             context, model_input, type(self).__name__
         )
         obs = model_input[DataKeys.OBS]
         B, T = get_batch_size_from_model_input(obs)
+        B_pad = _bucket(B)
+        obs = _pad_rows(obs, B_pad)
         batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}
         if DataKeys.STATES in model_input:
-            states = self.policy.state_spec.encode(model_input[DataKeys.STATES])
+            states = self.policy.state_spec.encode(
+                _pad_rows(model_input[DataKeys.STATES], B_pad)
+            )
         else:
-            states = self.policy.init_states(B)
-        out, new_states = self.policy.sample(
-            self.params,
-            batch,
-            states,
-            deterministic=True,
-            return_actions=True,
-            return_logp=True,
-            return_values=True,
-        )
-        selected = {
-            DataKeys.ACTIONS: out[DataKeys.ACTIONS],
-            DataKeys.LOGP: out[DataKeys.LOGP],
-            DataKeys.VALUES: out[DataKeys.VALUES],
-        }
+            states = self.policy.init_states(B_pad)
+        selected, new_states = self._sample_fn(self.params, batch, states)
+        # Batch-major flattening: the true batch's rows come first.
+        selected = {k: v[: B * T] for k, v in selected.items()}
+        import jax
+
+        new_states = jax.tree_util.tree_map(lambda v: v[:B], new_states)
         return _to_dataframe(selected, B * T), _to_dataframe(new_states, B)
+
+    @property
+    def _sample_fn(self) -> Any:
+        """The jitted deterministic sample (built lazily; jax caches one
+        compiled program per padded input shape)."""
+        fn = self.__dict__.get("_jit_sample")
+        if fn is None:
+            import jax
+
+            def _sample(
+                params: Any, batch: Any, states: Any
+            ) -> tuple[dict[str, Any], Any]:
+                out, new_states = self.policy.sample(
+                    params,
+                    batch,
+                    states,
+                    deterministic=True,
+                    return_actions=True,
+                    return_logp=True,
+                    return_values=True,
+                )
+                return {
+                    DataKeys.ACTIONS: out[DataKeys.ACTIONS],
+                    DataKeys.LOGP: out[DataKeys.LOGP],
+                    DataKeys.VALUES: out[DataKeys.VALUES],
+                }, new_states
+
+            fn = self.__dict__["_jit_sample"] = jax.jit(_sample)
+        return fn
+
+    def __getstate__(self) -> dict[str, Any]:
+        # Jitted callables don't pickle; rebuilt lazily after load.
+        return {
+            k: v for k, v in self.__dict__.items() if k != "_jit_sample"
+        }
 
 
 #: Aliases under the reference's class names

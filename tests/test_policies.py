@@ -227,3 +227,86 @@ def test_serving_predict_accepts_mlflow_positional_order(tmp_path) -> None:
     # obscure KeyError from binding the context as the model input.
     with pytest.raises(TypeError, match="calling convention|positional order|mapping"):
         model.predict({DataKeys.OBS: obs}, object())
+
+
+def test_serving_buckets_batch_sizes_and_reuses_compiles() -> None:
+    """Serving jits the deterministic sample and buckets request batch
+    sizes to the next power of two: odd sizes match the direct sample
+    exactly after the padding slices off, and sizes within one bucket
+    share a single compiled program."""
+    policy, params = _policy()
+    model = PolicyModel(policy, params)
+
+    def run(b: int) -> None:
+        obs = np.asarray(
+            jax.random.normal(jax.random.key(b), (b, T, OBS_DIM)),
+            dtype=np.float32,
+        )
+        df = model.predict({DataKeys.OBS: obs})
+        assert len(df) == b * T
+        direct = policy.sample(
+            params,
+            {DataKeys.OBS: jnp.asarray(obs)},
+            kind="all",
+            deterministic=True,
+            return_logp=True,
+            return_values=True,
+        )
+        np.testing.assert_allclose(
+            np.stack(df[DataKeys.VALUES].to_list()).ravel(),
+            np.asarray(direct[DataKeys.VALUES]).ravel(),
+            rtol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.stack(df[DataKeys.ACTIONS].to_list()),
+            np.asarray(direct[DataKeys.ACTIONS]),
+        )
+
+    run(3)
+    run(5)  # same bucket (8): no new compile
+    assert model._sample_fn._cache_size() == 1
+    run(9)  # next bucket (16): exactly one more compile
+    assert model._sample_fn._cache_size() == 2
+
+
+def test_recurrent_serving_buckets_and_round_trips_states() -> None:
+    """Recurrent serving pads obs AND states to the bucket, slices both
+    back, and returned states feed the next request."""
+    policy, params = _recurrent_policy()
+    model = RecurrentPolicyModel(policy, params)
+    b = 3  # pads to 8
+    obs = np.asarray(
+        jax.random.normal(jax.random.key(1), (b, T, OBS_DIM)), dtype=np.float32
+    )
+    outputs, states_df = model.predict({DataKeys.OBS: obs})
+    assert len(outputs) == b * T
+    assert len(states_df) == b
+
+    direct, direct_states = policy.sample(
+        params,
+        {DataKeys.OBS: jnp.asarray(obs)},
+        policy.init_states(b),
+        deterministic=True,
+        return_values=True,
+    )
+    np.testing.assert_array_equal(
+        np.stack(outputs[DataKeys.ACTIONS].to_list()),
+        np.asarray(direct[DataKeys.ACTIONS]),
+    )
+    np.testing.assert_allclose(
+        np.stack(states_df[DataKeys.HIDDEN_STATES].to_list()),
+        np.asarray(direct_states[DataKeys.HIDDEN_STATES]),
+        rtol=1e-5,
+    )
+
+    # Feed the returned states back (second segment of the stream).
+    states = {
+        k: np.stack(states_df[k].to_list())
+        for k in (DataKeys.HIDDEN_STATES, DataKeys.CELL_STATES)
+    }
+    outputs2, states_df2 = model.predict(
+        {DataKeys.OBS: obs, DataKeys.STATES: states}
+    )
+    assert len(outputs2) == b * T
+    assert len(states_df2) == b
+    assert model._sample_fn._cache_size() == 1  # same bucket throughout
