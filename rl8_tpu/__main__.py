@@ -106,7 +106,33 @@ def main(argv: None | list[str] = None) -> int:
         action="store_true",
         help="Track with MLflow instead of JSONL files.",
     )
+    doctor_parser = subparsers.add_parser(
+        "doctor",
+        help="Production bring-up checks: devices/topology, mesh,"
+        " checkpoint storage, and per-config fused-kernel gates"
+        " (docs/production.md). Exits non-zero if any check fails.",
+    )
+    doctor_parser.add_argument(
+        "-f",
+        "--file",
+        default=None,
+        help="Optional train config: builds it and reports the execution"
+        " mode and every fused-kernel gate decision.",
+    )
+    doctor_parser.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="Optional checkpoint path/URL to probe (write round trip +"
+        " resume state).",
+    )
     args = parser.parse_args(argv)
+
+    if args.command == "doctor":
+        from .doctor import run_doctor
+
+        return run_doctor(
+            config_file=args.file, checkpoint_dir=args.checkpoint_dir
+        )
 
     if args.command == "train" and not args.checkpoint_dir:
         # Checkpoint knobs without a destination would otherwise be

@@ -317,3 +317,48 @@ def test_cli_checkpoint_flags_require_checkpoint_dir(tmp_path) -> None:
         main(["train", "-f", config, "--async-checkpoints"])
     with pytest.raises(SystemExit):
         main(["train", "-f", config, "--steps-per-checkpoint", "2"])
+
+
+def test_cli_doctor(tmp_path, capsys) -> None:
+    """`doctor` reports devices/mesh/storage/config gates and exits 0
+    when everything checks out, non-zero on a failing check."""
+    config = _write_yaml(
+        tmp_path,
+        "env_cls: rl8_tpu.env.DiscreteDummyEnv\n"
+        "algorithm_config:\n"
+        "  horizon: 4\n"
+        "  num_envs: 8\n"
+        "  model_config:\n"
+        "    hiddens: [8]\n",
+    )
+    rc = main(
+        [
+            "doctor",
+            "-f",
+            config,
+            "--checkpoint-dir",
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "checks passed" in out
+    assert "execution mode: single-device" in out
+    assert "writable" in out
+    assert "fail:" not in out
+
+    # A bad config fails the build check and flips the exit code.
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("env_cls: not.a.real.Env\n")
+    rc = main(["doctor", "-f", str(bad)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "fail: config build failed" in out
+
+    # An unwritable checkpoint destination fails the write probe.
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")  # a FILE where a directory is needed
+    rc = main(["doctor", "--checkpoint-dir", str(blocker / "sub")])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "fail:" in out and "write probe" in out
