@@ -27,8 +27,10 @@ better).
 
 After the five tracked configs, diagnostic lines cover the other two
 algotrading example models (AttentiveAlpaca, LazyLemur — the reference
-claims throughput holds across its example models) and the 1024-wide
-torso regime (where the width-aware kernel tiling engages).
+claims throughput holds across its example models), the 1024-wide
+torso regime (where the width-aware kernel tiling engages), and the
+serving path (jitted batch-bucketed ``PolicyModel.predict``,
+predictions/s end to end including the DataFrame conversion).
 """
 
 from __future__ import annotations
@@ -230,6 +232,43 @@ def bench_example_models() -> None:
         )
 
 
+def bench_serving() -> None:
+    """Serving-path throughput: predictions/s through the jitted,
+    batch-bucketed ``PolicyModel.predict`` (the reference's serving
+    analog is eager-PyTorch pyfunc predict; no public baseline exists,
+    so ``vs_baseline`` is reported against the training-path transition
+    rate's 1M/s reference for scale)."""
+    import numpy as np
+
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.policies import Policy
+    from rl8_tpu.policies.serving import PolicyModel
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    policy = Policy(Unbounded(4), Discrete(3, shape=(1,)))
+    import jax
+
+    model = PolicyModel(policy, policy.init_params(jax.random.key(0)))
+    B, T = 4096, 1
+    obs = np.random.default_rng(0).standard_normal((B, T, 4)).astype(np.float32)
+    request = {DataKeys.OBS: obs}
+    model.predict(request)  # compile
+    reps = 20
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        for _ in range(reps):
+            model.predict(request)
+        best = min(best, time.perf_counter() - start)
+    rate = B * T * reps / best
+    _emit(
+        "serving_predictions_per_s",
+        rate,
+        "predictions/s",
+        rate / REFERENCE_TRANSITIONS_PER_S,
+    )
+
+
 def bench_wide_torso() -> None:
     """The non-tiny-model regime (VERDICT r2 item 4): default model with
     a 1024-wide twin torso, where the width-aware kernel tiling shrinks
@@ -256,6 +295,7 @@ def main() -> None:
         bench_algotrading,
         bench_example_models,
         bench_wide_torso,
+        bench_serving,
     ):
         try:
             bench()
