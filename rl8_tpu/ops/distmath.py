@@ -18,9 +18,12 @@ __all__ = [
     "SQUASH_EPS",
     "TWO_PI",
     "kernel_uniform",
+    "key_to_seed",
     "log_softmax_rows",
     "normal_per_dim_logp",
     "sample_categorical_group",
+    "sample_continuous_actions",
+    "sample_discrete_actions",
     "sample_normal_noise",
     "squashed_normal_logp",
 ]
@@ -111,3 +114,71 @@ def sample_normal_noise(shape: tuple[int, ...]) -> jax.Array:
     u1 = kernel_uniform(shape)
     u2 = kernel_uniform(shape)
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+
+
+def sample_discrete_actions(
+    logits: jax.Array, n: int, deterministic: bool, actions_ref
+) -> jax.Array:
+    """Sample every categorical group of ``logits`` (``[N, A * n]``,
+    ``n`` categories per group), writing one int32 column per group
+    into ``actions_ref``; returns the summed chosen log-prob ``[N, 1]``.
+
+    The single in-kernel discrete sampling path — both act kernels
+    (feedforward and recurrent) inline this, so the stored log-probs the
+    PPO ratio divides by can never diverge between them.
+    """
+    total_logp = None
+    for a in range(logits.shape[1] // n):
+        z = log_softmax_rows(logits[:, a * n : (a + 1) * n])
+        act, chosen = sample_categorical_group(z, deterministic)
+        total_logp = chosen if total_logp is None else total_logp + chosen
+        actions_ref[:, a : a + 1] = act
+    return total_logp
+
+
+def sample_continuous_actions(
+    mean: jax.Array,
+    pre_log_std: jax.Array,
+    deterministic: bool,
+    squashed: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Sample diagonal-normal (optionally tanh-squashed) actions from
+    raw head outputs; returns ``(actions, logp [N, 1])``.
+
+    Applies the default models' ``tanh``-bounded log-std
+    (``models/_feedforward.py``), Box-Muller noise, and the same logp
+    formulas as the fused update kernels — the single in-kernel
+    continuous sampling path for both act kernels.
+    """
+    log_std = jnp.tanh(pre_log_std)
+    std = jnp.exp(log_std)
+    inv_var = jnp.exp(-2.0 * log_std)
+    if deterministic:
+        actions = mean
+    else:
+        actions = mean + std * sample_normal_noise(mean.shape)
+    if squashed:
+        # SquashedNormal: squash through tanh and store the logp of the
+        # squashed action so stored log-probs match
+        # ``SquashedNormal.logp(actions)``.
+        actions = jnp.tanh(actions)
+        logp, _, _ = squashed_normal_logp(actions, mean, log_std, inv_var)
+    else:
+        diff = actions - mean
+        logp = jnp.sum(
+            normal_per_dim_logp(diff, log_std, inv_var),
+            axis=1,
+            keepdims=True,
+        )
+    return actions, logp
+
+
+def key_to_seed(key: jax.Array) -> jax.Array:
+    """Two 32-bit seed words for the TPU hardware PRNG from a JAX key.
+
+    Both words of the key material are fed through (a single word would
+    collide by birthday bound over long runs); kernels further mix in
+    their grid position.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
+    return jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)

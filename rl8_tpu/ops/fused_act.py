@@ -33,11 +33,9 @@ from .fused_mlp import (
 )
 
 from .distmath import (
-    log_softmax_rows,
-    normal_per_dim_logp,
-    sample_categorical_group,
-    sample_normal_noise,
-    squashed_normal_logp,
+    key_to_seed,
+    sample_continuous_actions,
+    sample_discrete_actions,
 )
 
 __all__ = ["fused_act"]
@@ -55,16 +53,9 @@ def _discrete_act_kernel(
     _, _, all_outs = _forward_block(x, params, sizes, activation)
     logits = all_outs[0][0]
     values_ref[:] = all_outs[1][0]
-
-    n = action_n
-    n_groups = logits.shape[1] // n
-    total_logp = None
-    for a in range(n_groups):
-        z = log_softmax_rows(logits[:, a * n : (a + 1) * n])
-        act, chosen = sample_categorical_group(z, deterministic)
-        total_logp = chosen if total_logp is None else total_logp + chosen
-        actions_ref[:, a : a + 1] = act
-    logp_ref[:] = total_logp
+    logp_ref[:] = sample_discrete_actions(
+        logits, action_n, deterministic, actions_ref
+    )
 
 
 def _continuous_act_kernel(
@@ -76,31 +67,14 @@ def _continuous_act_kernel(
     pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
 
     x = x_ref[:]
-    tile = x.shape[0]
     _, _, all_outs = _forward_block(x, params, sizes, activation)
     mean, pre_log_std = all_outs[0]
     values_ref[:] = all_outs[1][0]
-    log_std = jnp.tanh(pre_log_std)
-    std = jnp.exp(log_std)
-
-    if deterministic:
-        actions = mean
-    else:
-        actions = mean + std * sample_normal_noise((tile, action_dim))
-    inv_var = jnp.exp(-2.0 * log_std)
-    if squashed:
-        # SquashedNormal: squash through tanh and store the logp of the
-        # squashed action (shared in-kernel math: ``ops/distmath.py``) so
-        # stored log-probs match ``SquashedNormal.logp(actions)``.
-        actions = jnp.tanh(actions)
-        logp, _, _ = squashed_normal_logp(actions, mean, log_std, inv_var)
-        logp_ref[:] = logp
-    else:
-        diff = actions - mean
-        logp_ref[:] = jnp.sum(
-            normal_per_dim_logp(diff, log_std, inv_var), axis=1, keepdims=True
-        )
+    actions, logp = sample_continuous_actions(
+        mean, pre_log_std, deterministic, squashed
+    )
     actions_ref[:] = actions
+    logp_ref[:] = logp
 
 
 def fused_act(
@@ -125,6 +99,11 @@ def fused_act(
     from .fused_mlp import _default_chains
 
     obs = batch[DataKeys.OBS]
+    # Widen narrow-float observations exactly like the fused update
+    # path's packed-row transport (``ops/packing.py``), so both kernels
+    # consume identical f32 inputs.
+    if obs.dtype != jnp.float32:
+        obs = obs.astype(jnp.float32)
     discrete = type(model) is DefaultDiscreteModel
     chains = _default_chains(model, params)
     flat = _flatten_params(chains)
@@ -147,11 +126,7 @@ def fused_act(
 
     tile = _chain_tile(b, chains, extra_row_factor=2)
     grid = (pl.cdiv(b, tile),)
-    # Feed the full JAX key material to the hardware PRNG (both 32-bit
-    # words — a single word would collide by birthday bound over long
-    # runs); the kernel further mixes in the grid position.
-    kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
-    seed = jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)
+    seed = key_to_seed(key)
 
     param_specs = [
         pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)

@@ -20,14 +20,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..data import DataKeys
 from .distmath import (
-    log_softmax_rows,
-    normal_per_dim_logp,
-    sample_categorical_group,
-    sample_normal_noise,
-    squashed_normal_logp,
+    key_to_seed,
+    sample_continuous_actions,
+    sample_discrete_actions,
 )
 from .fused_mlp import _dot
-from .fused_rnn_ppo import _GATES
 
 __all__ = ["fused_rnn_act"]
 
@@ -72,40 +69,21 @@ def _kernel(
         x = h  # feeds the next layer
 
     if kind == "discrete":
-        A, n = action_meta
+        _, n = action_meta
         logits = _dot(h, head_refs[0][:]) + head_refs[1][:]
         values_ref[:] = _dot(h, head_refs[2][:]) + head_refs[3][:]
-        total_logp = None
-        for a in range(A):
-            zl = log_softmax_rows(logits[:, a * n : (a + 1) * n])
-            act, chosen = sample_categorical_group(zl, deterministic)
-            total_logp = chosen if total_logp is None else total_logp + chosen
-            actions_ref[:, a : a + 1] = act
-        logp_ref[:] = total_logp
+        logp_ref[:] = sample_discrete_actions(
+            logits, n, deterministic, actions_ref
+        )
     else:
-        (A,) = action_meta
         mean = _dot(h, head_refs[0][:]) + head_refs[1][:]
         pre_log_std = _dot(h, head_refs[2][:]) + head_refs[3][:]
         values_ref[:] = _dot(h, head_refs[4][:]) + head_refs[5][:]
-        log_std = jnp.tanh(pre_log_std)
-        std = jnp.exp(log_std)
-        inv_var = jnp.exp(-2.0 * log_std)
-        if deterministic:
-            actions = mean
-        else:
-            actions = mean + std * sample_normal_noise((x.shape[0], A))
-        if squashed:
-            actions = jnp.tanh(actions)
-            logp, _, _ = squashed_normal_logp(actions, mean, log_std, inv_var)
-            logp_ref[:] = logp
-        else:
-            diff = actions - mean
-            logp_ref[:] = jnp.sum(
-                normal_per_dim_logp(diff, log_std, inv_var),
-                axis=1,
-                keepdims=True,
-            )
+        actions, logp = sample_continuous_actions(
+            mean, pre_log_std, deterministic, squashed
+        )
         actions_ref[:] = actions
+        logp_ref[:] = logp
 
 
 def fused_rnn_act(
@@ -144,25 +122,35 @@ def fused_rnn_act(
     action_dtype = jnp.int32 if kind == "discrete" else jnp.float32
     heads = _head_params(params, head_names)
 
+    # Widen narrow-float observations exactly like the fused update
+    # path's packed-row transport (``ops/packing.py``), so both kernels
+    # consume identical f32 inputs.
+    if obs.dtype != jnp.float32:
+        obs = obs.astype(jnp.float32)
     bsz = obs.shape[0]
     # Footprint-aware row tile (cf. fused_mlp._chain_tile): the four
     # [tile, K*H] state blocks dominate and are double-buffered by the
-    # Pallas pipeline; per-layer gate transients add ~8H per row. Deep
-    # or wide stacks (e.g. K=8, H=256) shrink the tile instead of
+    # Pallas pipeline; per-layer gate transients add ~8H per row, and
+    # the head phase holds ~6 copies of the head-output row (logits /
+    # log-softmax / Gumbel scores / uniform draws for wide discrete
+    # heads; mean / log_std chains for continuous). Deep, wide, or
+    # large-action-space configs shrink the tile instead of
     # overshooting vmem_limit_bytes; the default config (K=1, H=256)
     # still gets the full 2048 rows.
     from .fused_mlp import _VMEM_TOTAL_BUDGET
 
     resident = 4 * sum(int(p.size) for p in (*lstm_params, *heads))
+    head_out = sum(int(b.shape[-1]) for b in heads[1::2])
     row_bytes = 4 * (
-        2 * (obs.shape[1] + 4 * K * H + action_dim + 2) + 8 * H
+        2 * (obs.shape[1] + 4 * K * H + action_dim + 2)
+        + 8 * H
+        + 6 * head_out
     )
     budget = max(4 * 1024 * 1024, _VMEM_TOTAL_BUDGET - resident)
     tile = max(8, min(2048, budget // row_bytes // 8 * 8))
     tile = min(tile, -(-bsz // 8) * 8)
     grid = (pl.cdiv(bsz, tile),)
-    kd = jax.random.key_data(key).astype(jnp.uint32).ravel()
-    seed = jnp.stack([kd[0], kd[-1]]).astype(jnp.int32)
+    seed = key_to_seed(key)
 
     full = lambda p: pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     row = lambda width: pl.BlockSpec(

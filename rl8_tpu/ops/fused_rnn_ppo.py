@@ -129,15 +129,25 @@ def supports_fused_rnn_update(
     ):
         return False
     # Weight-residency gate, mirroring fused_mlp.chains_fit_vmem: the
-    # kernel holds every LSTM/head parameter AND its gradient
-    # accumulator in VMEM, so very wide cells (H >= ~2048) must fall
-    # back to autodiff instead of failing Mosaic allocation.
+    # update kernel holds every LSTM *and head* parameter, its gradient
+    # accumulator, AND the pre-transposed head weights in VMEM, so very
+    # wide cells (H >= ~2048) or very wide heads (large-vocabulary
+    # action spaces) must fall back to autodiff instead of failing
+    # Mosaic allocation.
     from .fused_mlp import _VMEM_TOTAL_BUDGET
 
     H, L = model.hidden_size, model.num_layers
     d0 = int(model.observation_spec.shape[0])
-    param_f32s = 4 * H * (d0 + H + 1) + (L - 1) * 4 * H * (2 * H + 1)
-    return 2 * 4 * param_f32s <= _VMEM_TOTAL_BUDGET - 8 * 1024 * 1024
+    lstm_f32s = 4 * H * (d0 + H + 1) + (L - 1) * 4 * H * (2 * H + 1)
+    A = int(model.action_spec.shape[0])
+    if type(model) is DefaultDiscreteRecurrentModel:
+        head_out = A * int(model.action_spec.n) + 1  # logits + value
+    else:
+        head_out = 2 * A + 1  # mean + log_std + value
+    head_w_f32s = H * head_out
+    head_f32s = head_w_f32s + head_out  # weights + biases
+    resident = 2 * (lstm_f32s + head_f32s) + head_w_f32s  # + transposes
+    return 4 * resident <= _VMEM_TOTAL_BUDGET - 8 * 1024 * 1024
 
 
 def _rnn_tile(

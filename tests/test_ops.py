@@ -547,6 +547,17 @@ def test_supports_fused_rnn_update_gating() -> None:
         Unbounded(3), Discrete(3, shape=(1,)), hidden_size=2048
     )
     assert not supports_fused_rnn_update(wide, Categorical)
+    # Very wide HEADS (large-vocabulary action spaces) also count
+    # against residency: the update kernel holds head params, their
+    # accumulators, and transposed copies in VMEM.
+    wide_head = DefaultDiscreteRecurrentModel(
+        Unbounded(3), Discrete(40000, shape=(1,))
+    )
+    assert not supports_fused_rnn_update(wide_head, Categorical)
+    medium_head = DefaultDiscreteRecurrentModel(
+        Unbounded(3), Discrete(1000, shape=(1,))
+    )
+    assert supports_fused_rnn_update(medium_head, Categorical)
 
 
 def test_vmem_aware_tiles_shrink_for_big_configs() -> None:
@@ -1264,3 +1275,66 @@ def test_supports_fused_rnn_update_weight_residency_gate() -> None:
     assert supports_fused_rnn_update(mk(1024), Categorical)
     assert not supports_fused_rnn_update(mk(2048), Categorical)
     assert not supports_fused_rnn_update(mk(1024, 4), Categorical)
+
+
+def test_fused_act_widens_narrow_float_obs() -> None:
+    """bf16/f16 observations are widened to f32 at the act-kernel
+    boundary — the same convention as the update path's packed-row
+    transport — instead of feeding narrow floats into Mosaic paths the
+    toolchain doesn't support."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.distributions import Categorical
+    from rl8_tpu.models import (
+        DefaultDiscreteModel,
+        DefaultDiscreteRecurrentModel,
+    )
+    from rl8_tpu.ops.fused_act import fused_act
+    from rl8_tpu.ops.fused_rnn_act import fused_rnn_act
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    obs32 = jax.random.normal(jax.random.key(1), (16, 3))
+    obs16 = obs32.astype(jnp.bfloat16)
+
+    model = DefaultDiscreteModel(
+        Unbounded(3, dtype=jnp.bfloat16), Discrete(3, shape=(1,)),
+        hiddens=(16,),
+    )
+    params = model.init(
+        jax.random.key(0), {DataKeys.OBS: obs32[:, None]}
+    )["params"]
+    with pltpu.force_tpu_interpret_mode():
+        a16, lp16, v16 = fused_act(
+            model, params, {DataKeys.OBS: obs16}, jax.random.key(5),
+            deterministic=True,
+        )
+        a32, lp32, v32 = fused_act(
+            model, params, {DataKeys.OBS: obs16.astype(jnp.float32)},
+            jax.random.key(5), deterministic=True,
+        )
+    np.testing.assert_array_equal(np.asarray(a16), np.asarray(a32))
+    np.testing.assert_array_equal(np.asarray(v16), np.asarray(v32))
+
+    rmodel = DefaultDiscreteRecurrentModel(
+        Unbounded(3, dtype=jnp.bfloat16), Discrete(3, shape=(1,)),
+        hidden_size=16,
+    )
+    states = {
+        DataKeys.HIDDEN_STATES: jnp.zeros((16, 1, 16)),
+        DataKeys.CELL_STATES: jnp.zeros((16, 1, 16)),
+    }
+    rparams = rmodel.init(
+        jax.random.key(0), {DataKeys.OBS: obs32[:, None]}, states
+    )["params"]
+    with pltpu.force_tpu_interpret_mode():
+        ra16, _, rv16, _ = fused_rnn_act(
+            rmodel, rparams, obs16, states, jax.random.key(5),
+            deterministic=True,
+        )
+        ra32, _, rv32, _ = fused_rnn_act(
+            rmodel, rparams, obs16.astype(jnp.float32), states,
+            jax.random.key(5), deterministic=True,
+        )
+    np.testing.assert_array_equal(np.asarray(ra16), np.asarray(ra32))
+    np.testing.assert_array_equal(np.asarray(rv16), np.asarray(rv32))
