@@ -46,8 +46,9 @@ class PreemptionMonitor:
     ``install``/``uninstall`` save and restore the previous ``SIGTERM``
     disposition, and a previously-installed Python handler is chained
     (still called) so outer supervisors keep observing the signal.
-    Installation is skipped silently off the main thread, where CPython
-    forbids ``signal.signal`` — :meth:`request` remains available there.
+    Installation is skipped WITH A WARNING off the main thread, where
+    CPython forbids ``signal.signal`` — :meth:`request` remains
+    available there.
     """
 
     def __init__(self) -> None:
@@ -56,10 +57,27 @@ class PreemptionMonitor:
         self._installed = False
 
     def install(self) -> "PreemptionMonitor":
-        """Register the ``SIGTERM`` handler (main thread only)."""
+        """Register the ``SIGTERM`` handler (main thread only).
+
+        Off the main thread (where CPython forbids ``signal.signal``)
+        this warns and installs nothing — SIGTERM will then NOT trigger
+        a final checkpoint; wire your own handler to :meth:`request` if
+        you train from a worker thread.
+        """
         if self._installed:
             return self
         if threading.current_thread() is not threading.main_thread():
+            import warnings
+
+            warnings.warn(
+                "PreemptionMonitor.install() skipped: not on the main"
+                " thread, so no SIGTERM handler was registered and a"
+                " preemption will NOT trigger a final checkpoint. Call"
+                " monitor.request() from your own signal handler to keep"
+                " the protection.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return self
         self._prev = signal.signal(signal.SIGTERM, self._on_signal)
         self._installed = True
@@ -67,9 +85,24 @@ class PreemptionMonitor:
 
     def uninstall(self) -> None:
         """Restore the ``SIGTERM`` disposition that preceded
-        :meth:`install`."""
+        :meth:`install`.
+
+        A pre-existing handler that was not installed from Python
+        (``signal.getsignal`` returned ``None``) cannot be re-installed
+        from Python; ``SIG_DFL`` is set instead, with a warning.
+        """
         if not self._installed:
             return
+        if self._prev is None:
+            import warnings
+
+            warnings.warn(
+                "The SIGTERM handler that preceded PreemptionMonitor was"
+                " not installed from Python and cannot be restored;"
+                " setting SIG_DFL instead.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         signal.signal(
             signal.SIGTERM,
             self._prev if self._prev is not None else signal.SIG_DFL,

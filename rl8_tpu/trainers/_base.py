@@ -143,7 +143,9 @@ class GenericTrainerBase(Generic[_Algorithm]):
         for record in records:
             self.state["algorithm/collects"] += 1
             self.state["algorithm/steps"] += 1
-            self.state["env/steps"] += record["env/steps"]
+            # The stats mapping float()-casts everything; the counter
+            # must stay an int (tracking backends key history on it).
+            self.state["env/steps"] += int(record["env/steps"])
             train_stats: dict[str, Any] = {**memory_stats, **record}
             train_stats.update(self.state)
             self.tracking_run.log_metrics(train_stats, step=self.state["env/steps"])
@@ -322,6 +324,11 @@ class GenericTrainerBase(Generic[_Algorithm]):
                     if steps_per_eval and not (
                         self.state["algorithm/steps"] % steps_per_eval
                     ):
+                        # Evals run horizons_per_env_reset whole device
+                        # programs; don't enter one with a pending
+                        # eviction notice eating the grace period.
+                        if _preempt_save():
+                            return train_stats
                         self.eval(env_config=eval_env_config)
             train_stats = self.step(env_config=env_config)
             if _preempt_save():
@@ -333,6 +340,10 @@ class GenericTrainerBase(Generic[_Algorithm]):
                 if steps_per_eval and not (
                     self.state["algorithm/steps"] % steps_per_eval
                 ):
+                    # As above: check for a pending eviction before
+                    # committing to a multi-program eval.
+                    if _preempt_save():
+                        return train_stats
                     self.eval(env_config=eval_env_config)
                 train_stats = self.step(env_config=env_config)
                 if _preempt_save():
@@ -371,7 +382,9 @@ class GenericTrainerBase(Generic[_Algorithm]):
 
         trainer_state = restore_checkpoint(directory, self.algorithm)
         for k, v in trainer_state.items():
-            self.state[k] = v  # type: ignore[literal-required]
+            # int: counters saved by older versions may round-trip JSON
+            # as floats.
+            self.state[k] = int(v)  # type: ignore[literal-required]
 
     def step(self, *, env_config: None | dict[str, Any] = None) -> TrainStats:
         """One training step: collect + update + log
@@ -386,7 +399,9 @@ class GenericTrainerBase(Generic[_Algorithm]):
         }
         self.state["algorithm/collects"] += 1
         self.state["algorithm/steps"] += 1
-        self.state["env/steps"] += collect_stats["env/steps"]
+        # int: the stats mapping float()-casts everything, but the
+        # counter keying tracking history and checkpoints must stay int.
+        self.state["env/steps"] += int(collect_stats["env/steps"])
         train_stats.update(self.state)
         self.tracking_run.log_metrics(train_stats, step=self.state["env/steps"])
         return train_stats  # type: ignore[return-value]

@@ -67,7 +67,10 @@ class JsonlRun:
             json.dump({k: str(v) for k, v in params.items()}, f, indent=2)
 
     def log_metrics(self, metrics: Mapping[str, float], /, *, step: int) -> None:
-        record = {"step": step, "time": time.time(), **metrics}
+        # Reserved record fields win over same-named metrics, so a
+        # metric literally keyed "step"/"time" can't corrupt the x-axis
+        # downstream tooling reads.
+        record = {**metrics, "step": step, "time": time.time()}
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 

@@ -5,10 +5,15 @@ flattened parameter vector instead of the parameter pytree. On TPU the
 per-leaf optimizer math (global-norm clip + adam on ~a dozen small
 tensors) lowers to ~100 tiny kernels costing several milliseconds per
 update inside the train step; on one flat vector it's a handful of
-well-shaped vector ops. Bit-identical for elementwise transformations
-(sgd/adam/adamw/...) including global-norm clipping; NOT valid for
-optimizers whose behavior depends on parameter structure (e.g.
-per-layer scaling rules) — gate with ``AlgorithmConfig.flatten_optimizer``.
+well-shaped vector ops. Mathematically equivalent for elementwise
+transformations (sgd/adam/adamw/...) and for global-norm clipping —
+though the global norm sums in a different floating-point order (one
+monolithic reduction vs per-leaf partials), so results agree to
+reduction-order rounding rather than bit-for-bit, and mixed-dtype
+param trees are promoted to a common dtype by ``ravel_pytree``. NOT
+valid for optimizers whose behavior depends on parameter structure
+(e.g. per-layer scaling rules) — gate with
+``AlgorithmConfig.flatten_optimizer``.
 """
 
 from __future__ import annotations

@@ -127,3 +127,76 @@ def test_run_preemption_with_fused_steps(tmp_path):
     assert stats["algorithm/steps"] < 20
     assert checkpoint_exists(ckpt_dir)
     assert signal.getsignal(signal.SIGTERM) == prev
+
+
+def test_preemption_skips_pending_eval(tmp_path):
+    """A latched SIGTERM is acted on BEFORE entering a multi-program
+    eval, so the grace period isn't spent evaluating."""
+    prev = signal.getsignal(signal.SIGTERM)
+    ckpt_dir = tmp_path / "ckpt"
+    trainer = _build_trainer()
+    trainer.run(
+        stop_conditions=[
+            _SigtermAtStep(1),
+            HitsUpperBound("algorithm/steps", 10),
+        ],
+        checkpoint_dir=ckpt_dir,
+        steps_per_eval=1,
+    )
+    # Eval would have added horizons_per_env_reset collects beyond the
+    # per-step ones; equality proves no eval ran after the signal.
+    assert (
+        trainer.state["algorithm/collects"] == trainer.state["algorithm/steps"]
+    )
+    assert checkpoint_exists(ckpt_dir)
+    assert signal.getsignal(signal.SIGTERM) == prev
+
+
+def test_install_off_main_thread_warns():
+    """install() off the main thread can't register a handler; it must
+    say so instead of silently dropping the protection."""
+    import threading
+    import warnings
+
+    monitor = PreemptionMonitor()
+    caught: list = []
+
+    def target():
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            monitor.install()
+            caught.extend(w)
+
+    t = threading.Thread(target=target)
+    t.start()
+    t.join()
+    assert any("NOT trigger a final checkpoint" in str(w.message) for w in caught)
+    assert not monitor._installed
+
+
+def test_counters_stay_ints(tmp_path):
+    """env/steps remains an int through step, step_fused, and
+    checkpoint restore (stats mappings float()-cast everything)."""
+    trainer = _build_trainer()
+    trainer.step()
+    trainer.step_fused(2)
+    assert type(trainer.state["env/steps"]) is int
+    trainer.save_checkpoint(tmp_path / "ckpt")
+    restarted = _build_trainer()
+    restarted.restore_checkpoint(tmp_path / "ckpt")
+    assert type(restarted.state["env/steps"]) is int
+
+
+def test_jsonl_run_reserved_keys(tmp_path):
+    """Metrics literally named 'step'/'time' can't overwrite the JSONL
+    record's own step/timestamp fields."""
+    import json
+
+    from rl8_tpu.trainers.tracking import JsonlRun
+
+    run = JsonlRun(tmp_path)
+    run.log_metrics({"step": 99.0, "losses/total": 1.5}, step=7)
+    with open(tmp_path / "metrics.jsonl") as f:
+        record = json.loads(f.readline())
+    assert record["step"] == 7
+    assert record["losses/total"] == 1.5
