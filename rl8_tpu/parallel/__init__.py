@@ -116,10 +116,9 @@ def create_mesh(
         from jax.experimental import mesh_utils
 
         slice_ids = {getattr(d, "slice_index", None) for d in devices}
+        multi_slice = len(slice_ids) > 1 and None not in slice_ids
         try:
-            if len(slice_ids) > 1 and None not in slice_ids:
-                if len(devices) % len(slice_ids):
-                    raise ValueError("unequal slice sizes")
+            if multi_slice and len(devices) % len(slice_ids) == 0:
                 arr = mesh_utils.create_hybrid_device_mesh(
                     (len(devices) // len(slice_ids),),
                     (len(slice_ids),),
@@ -130,10 +129,23 @@ def create_mesh(
                     (len(devices),), devices=devices
                 )
             return Mesh(arr.reshape(-1), (axis_name,))
-        except (ValueError, AssertionError, NotImplementedError):
+        except (ValueError, AssertionError, NotImplementedError) as e:
             # Unusual topologies (e.g. a hand-picked device subset) fall
-            # back to the given order.
-            pass
+            # back to the given order. Within one slice that's benign
+            # (all-to-all ICI); across slices it threads the all-reduce
+            # ring through DCN hops arbitrarily — the exact pathology
+            # the hybrid layout exists to avoid — so say so loudly.
+            if multi_slice:
+                import warnings
+
+                warnings.warn(
+                    "create_mesh could not build a slice-aware device"
+                    f" order ({type(e).__name__}: {e}); falling back to"
+                    " the given order. Cross-slice collectives may"
+                    " interleave ICI and DCN hops suboptimally.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return Mesh(np.asarray(devices), (axis_name,))
 
 
@@ -153,11 +165,12 @@ def _global_put(leaf: Any, sharding: NamedSharding) -> jax.Array:
     import numpy as np
 
     if jnp.issubdtype(jnp.asarray(leaf).dtype, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(leaf)  # preserve non-default PRNGs
         data = np.asarray(jax.random.key_data(leaf))
         arr = jax.make_array_from_callback(
             data.shape, sharding, lambda idx: data[idx]
         )
-        return jax.random.wrap_key_data(arr)
+        return jax.random.wrap_key_data(arr, impl=impl)
     host = np.asarray(leaf)
     return jax.make_array_from_callback(
         host.shape, sharding, lambda idx: host[idx]
@@ -197,23 +210,32 @@ def shard_batch(
 
 def shard_state(state: Any, mesh: Mesh, num_envs: int, *, axis_name: str = ENV_AXIS) -> Any:
     """Shard an :class:`rl8_tpu.data.AlgorithmState`: env-batched leaves
-    along the ``env`` axis, params/optimizer state replicated."""
+    along the ``env`` axis, everything else replicated.
+
+    Field-driven (``dataclasses.fields``) rather than a hand-kept list,
+    so state subclasses' extra fields (e.g.
+    ``RecurrentAlgorithmState.seqs``) are globally placed too — a field
+    silently left process-local would break the first multi-host step.
+    """
+    import dataclasses
+
     replicated = NamedSharding(mesh, PartitionSpec())
-    rput = lambda tree: jax.tree_util.tree_map(
-        lambda x: _global_put(x, replicated), tree
-    )
-    return state.replace(
-        params=rput(state.params),
-        opt_state=rput(state.opt_state),
-        env_state=shard_batch(state.env_state, mesh, num_envs, axis_name=axis_name),
-        buffer=shard_batch(
-            state.buffer, mesh, num_envs, axis_name=axis_name, time_major=True
-        ),
-        rng=_global_put(state.rng, replicated),
-        horizons=_global_put(state.horizons, replicated),
-        buffered=_global_put(state.buffered, replicated),
-        reward_scale=_global_put(state.reward_scale, replicated),
-    )
+    placed = {}
+    for field in dataclasses.fields(state):
+        tree = getattr(state, field.name)
+        if field.name in _BATCHED_STATE_FIELDS:
+            placed[field.name] = shard_batch(
+                tree,
+                mesh,
+                num_envs,
+                axis_name=axis_name,
+                time_major=(field.name == "buffer"),
+            )
+        else:
+            placed[field.name] = jax.tree_util.tree_map(
+                lambda x: _global_put(x, replicated), tree
+            )
+    return state.replace(**placed)
 
 
 # ----------------------------------------------------------------------

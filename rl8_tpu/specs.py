@@ -81,7 +81,18 @@ class Unbounded(TensorSpec):
         super().__init__(shape=_normalize_shape(shape), dtype=dtype)
 
     def rand(self, key: jax.Array, batch_shape: tuple[int, ...] = ()) -> jax.Array:
-        return jax.random.normal(key, (*batch_shape, *self.shape), dtype=self.dtype)
+        shape = (*batch_shape, *self.shape)
+        # Unbounded specs may carry non-float dtypes (e.g. integer
+        # observation features); `normal` rejects those, so sample the
+        # dtype's own support instead of crashing deep inside rand.
+        if jnp.issubdtype(self.dtype, jnp.bool_):
+            return jax.random.bernoulli(key, shape=shape)
+        if not jnp.issubdtype(self.dtype, jnp.inexact):
+            info = jnp.iinfo(self.dtype)
+            return jax.random.randint(
+                key, shape, info.min, info.max, dtype=self.dtype
+            )
+        return jax.random.normal(key, shape, dtype=self.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,11 +223,14 @@ def assert_1d_spec(spec: Spec, /) -> None:
 
     Mirrors ``/root/reference/src/rl8/_utils.py:17-35``.
     """
-    assert isinstance(spec, TensorSpec) and spec.ndim == 1, (
-        f"{spec} is not compatible with default models and distributions. "
-        "Tensor specs must have shape ``[N]`` to be compatible with default "
-        "models and distributions."
-    )
+    # Explicit raise (not a bare `assert`): validation must survive
+    # `python -O`.
+    if not (isinstance(spec, TensorSpec) and spec.ndim == 1):
+        raise AssertionError(
+            f"{spec} is not compatible with default models and"
+            " distributions. Tensor specs must have shape ``[N]`` to be"
+            " compatible with default models and distributions."
+        )
 
 
 def assert_nd_spec(spec: Spec, /) -> None:
@@ -227,8 +241,8 @@ def assert_nd_spec(spec: Spec, /) -> None:
     if isinstance(spec, Composite):
         for k in spec:
             assert_nd_spec(spec[k])
-    else:
-        assert spec.ndim >= 1, (
+    elif spec.ndim < 1:  # explicit raise: must survive `python -O`
+        raise AssertionError(
             f"{spec} is not a valid spec. Specs must have a non-empty shape "
             "``[N, ...]`` to interface with models and distributions."
         )

@@ -319,3 +319,69 @@ def test_create_mesh_multi_slice_orders_ici_inner_dcn_outer() -> None:
     assert mesh.devices.size == len(jax.devices())
     mesh = create_mesh(jax.devices()[:3])
     assert mesh.devices.size == 3
+
+
+def test_shard_state_places_every_field() -> None:
+    """shard_state is field-driven: state-subclass extras (e.g.
+    RecurrentAlgorithmState.seqs) are globally placed like their
+    siblings — a field silently left process-local would break the
+    first multi-host step."""
+    import dataclasses
+
+    import jax
+
+    from rl8_tpu import RecurrentAlgorithmConfig
+    from rl8_tpu.env import DiscreteDummyEnv
+    from rl8_tpu.parallel import create_mesh
+
+    algo = RecurrentAlgorithmConfig(
+        num_envs=16,
+        horizon=4,
+        seq_len=2,
+        seqs_per_state_reset=2,
+        model_config={"hidden_size": 8},
+        mesh=create_mesh(),
+    ).build(DiscreteDummyEnv)
+    n = len(jax.devices())
+    for field in dataclasses.fields(algo.state):
+        for leaf in jax.tree_util.tree_leaves(getattr(algo.state, field.name)):
+            assert len(leaf.sharding.device_set) == n, field.name
+
+
+def test_create_mesh_multi_slice_fallback_warns(monkeypatch) -> None:
+    """When the slice-aware layout can't be built for a MULTI-slice
+    device list, the fallback to arbitrary order is loud (cross-slice
+    collectives may ride DCN suboptimally)."""
+    import warnings
+
+    import pytest
+    from jax.experimental import mesh_utils
+
+    from rl8_tpu.parallel import create_mesh
+
+    class FakeDevice:
+        def __init__(self, id, slice_index):
+            self.id = id
+            self.slice_index = slice_index
+            self.process_index = 0
+            self.platform = "cpu"
+
+        def __repr__(self):
+            return f"fake:{self.id}"
+
+    def boom(*args, **kwargs):
+        raise NotImplementedError("no topology info for fakes")
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", boom)
+    devices = [FakeDevice(i, slice_index=i % 2) for i in range(8)]
+    with pytest.warns(RuntimeWarning, match="slice-aware"):
+        mesh = create_mesh(devices)
+    assert mesh.devices.size == 8
+
+    # Single-slice fallbacks stay silent (benign: all-to-all ICI).
+    monkeypatch.setattr(mesh_utils, "create_device_mesh", boom)
+    single = [FakeDevice(i, slice_index=0) for i in range(4)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        mesh = create_mesh(single)
+    assert mesh.devices.size == 4

@@ -75,3 +75,19 @@ def test_encode() -> None:
     comp = Composite({"a": Unbounded(1)})
     out = comp.encode({"a": [[3.0]]})
     assert out["a"].shape == (1, 1)
+
+
+def test_unbounded_rand_non_float_dtypes() -> None:
+    """Unbounded specs with integer/bool dtypes sample their own support
+    instead of crashing in jax.random.normal."""
+    import jax
+    import jax.numpy as jnp
+
+    from rl8_tpu.specs import Unbounded
+
+    ints = Unbounded(3, dtype=jnp.int32).rand(jax.random.key(0), (4,))
+    assert ints.shape == (4, 3) and ints.dtype == jnp.int32
+    bools = Unbounded(2, dtype=jnp.bool_).rand(jax.random.key(1))
+    assert bools.shape == (2,) and bools.dtype == jnp.bool_
+    floats = Unbounded(2).rand(jax.random.key(2))
+    assert floats.dtype == jnp.float32
