@@ -24,6 +24,10 @@ Modes:
         (an NFS attribute cache lagging a just-published generation);
         the ``agree=True`` existence check, the restore, and the next
         save must all follow process 0's view instead of diverging.
+    recurrent: 2 trainer steps of RECURRENT PPO over the 2-process mesh
+        plus a checkpoint round trip — covers the recurrent state
+        extras (``seqs``, per-env LSTM states) that the feedforward
+        modes never shard.
 """
 
 import json
@@ -59,25 +63,42 @@ def main() -> None:
     assert len(jax.local_devices()) == 4
     assert is_main_process() == (proc_id == 0)
 
-    from rl8_tpu import AlgorithmConfig, Trainer
+    from rl8_tpu import (
+        AlgorithmConfig,
+        RecurrentAlgorithmConfig,
+        Trainer,
+    )
     from rl8_tpu.env import DiscreteDummyEnv
     from rl8_tpu.trainers.tracking import JsonlRun
 
     mesh = create_mesh()
-    algorithm = AlgorithmConfig(
-        num_envs=64,
-        horizon=8,
-        seed=7,
-        sgd_minibatch_size=64,
-        num_sgd_iters=2,
-        mesh=mesh,
-    ).build(DiscreteDummyEnv)
+    if mode == "recurrent":
+        algorithm = RecurrentAlgorithmConfig(
+            num_envs=64,
+            horizon=8,
+            seed=7,
+            seq_len=2,
+            seqs_per_state_reset=4,
+            sgd_minibatch_size=64,
+            num_sgd_iters=2,
+            model_config={"hidden_size": 8},
+            mesh=mesh,
+        ).build(DiscreteDummyEnv)
+    else:
+        algorithm = AlgorithmConfig(
+            num_envs=64,
+            horizon=8,
+            seed=7,
+            sgd_minibatch_size=64,
+            num_sgd_iters=2,
+            mesh=mesh,
+        ).build(DiscreteDummyEnv)
     # Every process passes a real tracking run pointed at the SAME
     # directory; host-0 gating must leave exactly one writer.
     trainer = Trainer(algorithm, run=JsonlRun(os.path.join(tmpdir, "track")))
     ckpt_dir = os.path.join(tmpdir, "ckpt")
 
-    if mode == "train":
+    if mode in ("train", "recurrent"):
         trainer.step()
         trainer.step()
 
@@ -91,7 +112,12 @@ def main() -> None:
             "env/steps": int(stats["env/steps"]),
             "algorithm/steps": int(stats["algorithm/steps"]),
         }
-        with open(os.path.join(tmpdir, f"result_{proc_id}.json"), "w") as f:
+        if mode == "recurrent":
+            result["seqs"] = int(trainer.algorithm.state.seqs)
+        prefix = "result" if mode == "train" else "recurrent_result"
+        with open(
+            os.path.join(tmpdir, f"{prefix}_{proc_id}.json"), "w"
+        ) as f:
             json.dump(result, f)
     elif mode == "fault":
         import threading

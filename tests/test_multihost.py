@@ -302,3 +302,46 @@ def test_multihost_stale_latest_view_follows_process_zero(tmp_path):
     # not a collision back onto generation 1.
     with open(tmp_path / "ckpt" / "latest.json") as f:
         assert json.load(f)["checkpoint"] == "ckpt-00000002"
+
+
+@pytest.mark.slow
+def test_two_process_recurrent_training(tmp_path):
+    """RECURRENT PPO across 2 jax.distributed processes: the recurrent
+    state extras (`seqs` counter, per-env LSTM states in the buffer)
+    must be globally placed (regression: shard_state once hand-listed
+    fields and silently left `seqs` process-local), stats agree on both
+    hosts, and the collective checkpoint round-trips."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(_WORKER), str(i), str(port),
+                str(tmp_path), _REPO_ROOT, "recurrent",
+            ],
+            env=dict(os.environ),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    with open(tmp_path / "recurrent_result_0.json") as f:
+        r0 = json.load(f)
+    with open(tmp_path / "recurrent_result_1.json") as f:
+        r1 = json.load(f)
+    assert r0 == r1
+    assert r0["algorithm/steps"] == 3
+    # 3 steps x horizon 8 / seq_len 2 sequences transitioned.
+    assert r0["seqs"] == 12
