@@ -81,6 +81,11 @@ class Model(GenericModelBase):
                     item = view_requirement.apply_all(key, batch)
                 case "last":
                     item = view_requirement.apply_last(key, batch)
+                case _:
+                    raise ValueError(
+                        f"Unknown view kind {kind!r}; expected 'last' or"
+                        " 'all'."
+                    )
             _set_nested(out, key, item)
         return out
 
@@ -100,9 +105,10 @@ class Model(GenericModelBase):
             return DefaultContinuousModel
         raise TypeError(f"Action spec {action_spec} has no default model support.")
 
-    @property
-    def drop_size(self) -> int:
-        """The model's drop size (``models/_feedforward.py:135-144``)."""
+    def _drop_sizes(self) -> dict[str, int]:
+        """Per-key drop sizes; loud on empty ``view_requirements`` (the
+        shared check behind :attr:`drop_size` and
+        :meth:`validate_view_requirements`)."""
         drop_sizes = {
             key: vr.drop_size for key, vr in self.view_requirements.items()
         }
@@ -113,20 +119,17 @@ class Model(GenericModelBase):
                 ' `{DataKeys.OBS: ViewRequirement(shift=0)}`) so the'
                 " algorithm knows how to preprocess rollout batches."
             )
-        return next(iter(drop_sizes.values()))
+        return drop_sizes
+
+    @property
+    def drop_size(self) -> int:
+        """The model's drop size (``models/_feedforward.py:135-144``)."""
+        return next(iter(self._drop_sizes().values()))
 
     def validate_view_requirements(self) -> None:
         """Raise if view requirements imply an ambiguous batch size
         (``models/_feedforward.py:181-203``)."""
-        drop_sizes = {
-            key: vr.drop_size for key, vr in self.view_requirements.items()
-        }
-        if not drop_sizes:
-            raise RuntimeError(
-                f"{self} has empty `view_requirements`. A model must"
-                " declare at least one view requirement (the default is"
-                ' `{DataKeys.OBS: ViewRequirement(shift=0)}`).'
-            )
+        drop_sizes = self._drop_sizes()
         if len(set(drop_sizes.values())) > 1:
             raise RuntimeError(
                 f"{self} view requirements with drop sizes {drop_sizes} result"

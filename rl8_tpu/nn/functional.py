@@ -252,7 +252,9 @@ def ppo_losses(
     else:
         policy_loss = jnp.mean(jnp.minimum(surr1, surr2))
     total_loss = vf_coeff * vf_loss - policy_loss
-    skip_entropy = isinstance(entropy_coeff, float) and entropy_coeff == 0.0
+    # int 0 counts too (the reference's `if entropy_coeff != 0`): an
+    # int-0 coefficient must not force SquashedNormal.entropy to raise.
+    skip_entropy = isinstance(entropy_coeff, (int, float)) and entropy_coeff == 0
     if not skip_entropy:
         entropy_loss = jnp.mean(sample_distribution.entropy())
         total_loss = total_loss - entropy_coeff * entropy_loss

@@ -7,6 +7,7 @@ idiom) rather than module instances.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -39,7 +40,9 @@ def _identity(x: jax.Array) -> jax.Array:
 
 ACTIVATIONS: dict[str, Callable[..., jax.Array]] = {
     "elu": jax.nn.elu,
-    "gelu": jax.nn.gelu,
+    # approximate=False: the reference's torch ``nn.GELU`` computes the
+    # exact erf form, not jax's default tanh approximation.
+    "gelu": functools.partial(jax.nn.gelu, approximate=False),
     "hard_shrink": _hard_shrink,
     "hard_sigmoid": jax.nn.hard_sigmoid,
     "hard_swish": jax.nn.hard_silu,

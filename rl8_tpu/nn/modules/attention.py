@@ -114,6 +114,11 @@ class _AttentionBlock(nn.Module):
     attention_dropout: float = 0.0
     hidden_dropout: float = 0.0
     skip_kind: None | str = "cat"
+    #: Self-attention shares one norm between q and kv (the reference's
+    #: SelfAttention has a single LayerNorm); cross-attention norms them
+    #: separately. STATIC so the parameter structure never depends on
+    #: whether a caller happened to pass the same array object twice.
+    self_attention: bool = False
     #: Compute dtype (params stay f32); ``jnp.bfloat16`` for TPU AMP.
     dtype: Any = None
 
@@ -129,9 +134,9 @@ class _AttentionBlock(nn.Module):
     ) -> jax.Array:
         q_normed = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
         kv_normed = (
-            nn.LayerNorm(dtype=self.dtype, name="kv_norm")(kv)
-            if kv is not q
-            else q_normed
+            q_normed
+            if self.self_attention
+            else nn.LayerNorm(dtype=self.dtype, name="kv_norm")(kv)
         )
         mask = _combine_masks(
             q.shape[0], q.shape[1], kv.shape[1], key_padding_mask, attention_mask
@@ -248,6 +253,7 @@ class SelfAttention(nn.Module):
             attention_dropout=self.attention_dropout,
             hidden_dropout=self.hidden_dropout,
             skip_kind=self.skip_kind,
+            self_attention=True,
             dtype=self.dtype,
             name="block",
         )(x, x, key_padding_mask, attention_mask, deterministic=deterministic)

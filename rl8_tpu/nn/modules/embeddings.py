@@ -5,6 +5,8 @@ Flax counterpart of ``/root/reference/src/rl8/nn/modules/embeddings.py``.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -24,6 +26,14 @@ def sinusoidal_embedding(max_len: int, embed_dim: int) -> np.ndarray:
     return pe
 
 
+@functools.lru_cache(maxsize=16)
+def _cached_embedding(max_len: int, embed_dim: int) -> np.ndarray:
+    """The table is a pure function of its shape — build it once per
+    shape instead of on every (eager) forward call and retrace (the
+    reference registers it once as a module buffer)."""
+    return sinusoidal_embedding(max_len, embed_dim)
+
+
 class PositionalEmbedding(nn.Module):
     """Add (non-learned) sinusoidal positional embeddings to a sequence.
 
@@ -41,7 +51,7 @@ class PositionalEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         """``x`` has shape ``[B, T, E]``; returns the same shape."""
-        pe = jnp.asarray(sinusoidal_embedding(self.max_len, self.embed_dim))
+        pe = jnp.asarray(_cached_embedding(self.max_len, self.embed_dim))
         x = x + pe[None, : x.shape[1], :]
         if self.dropout:
             x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)

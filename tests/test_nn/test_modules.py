@@ -1,3 +1,4 @@
+import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
@@ -122,3 +123,76 @@ def test_perceiver_layers() -> None:
     )
     params = io_layer.init(jax.random.key(0), q, kv)
     assert io_layer.apply(params, q, kv).shape == (2, 6, 8)
+
+
+def test_cross_attention_param_structure_independent_of_aliasing() -> None:
+    """CrossAttention's parameter tree must not depend on whether the
+    caller passes the same array object for q and kv (regression:
+    object-identity check skipped kv_norm at init, crashing apply with
+    distinct arrays)."""
+    from rl8_tpu.nn import CrossAttention
+
+    m = CrossAttention(embed_dim=8, num_heads=2)
+    x = jax.random.normal(jax.random.key(0), (2, 3, 8))
+    params_aliased = m.init(jax.random.key(1), x, x)["params"]
+    params_distinct = m.init(jax.random.key(1), x, x + 0.0)["params"]
+    assert jax.tree_util.tree_structure(
+        params_aliased
+    ) == jax.tree_util.tree_structure(params_distinct)
+    assert "kv_norm" in params_aliased["block"]
+    # Apply works with either aliasing, and kv REALLY routes through
+    # kv_norm: perturbing kv (non-uniformly — LayerNorm absorbs constant
+    # shifts) changes the output even when q is fixed.
+    kv2 = x * jnp.arange(1, 9, dtype=jnp.float32)
+    out_aliased = m.apply({"params": params_aliased}, x, x)
+    out_distinct = m.apply({"params": params_aliased}, x, kv2)
+    assert out_aliased.shape == out_distinct.shape == (2, 3, 8)
+    assert not np.allclose(np.asarray(out_aliased), np.asarray(out_distinct))
+
+
+def test_gelu_is_exact_erf_form() -> None:
+    """The reference's torch nn.GELU is the exact erf GELU, not the tanh
+    approximation jax defaults to."""
+    import jax.scipy.special as jsp
+
+    from rl8_tpu.nn import get_activation
+
+    x = jnp.linspace(-3.0, 3.0, 31)
+    exact = 0.5 * x * (1.0 + jsp.erf(x / jnp.sqrt(2.0)))
+    np.testing.assert_allclose(
+        np.asarray(get_activation("gelu")(x)), np.asarray(exact), atol=1e-6
+    )
+
+
+def test_ppo_losses_int_zero_entropy_coeff() -> None:
+    """entropy_coeff=0 (int) skips the entropy term — SquashedNormal's
+    entropy raises NotImplementedError and must not be evaluated."""
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.distributions import SquashedNormal
+    from rl8_tpu.nn import ppo_losses
+
+    B = 4
+    features = {
+        "mean": jnp.zeros((B, 1)),
+        "log_std": jnp.zeros((B, 1)),
+    }
+    dist = SquashedNormal(features, None)
+    actions = jnp.full((B, 1), 0.5)
+    batch = {
+        DataKeys.ACTIONS: actions,
+        DataKeys.LOGP: dist.logp(actions),
+        DataKeys.ADVANTAGES: jnp.ones((B, 1)),
+        DataKeys.RETURNS: jnp.ones((B, 1)),
+        DataKeys.VALUES: jnp.zeros((B, 1)),
+    }
+    losses = ppo_losses(batch, jnp.zeros((B, 1)), dist, entropy_coeff=0)
+    assert float(losses["entropy"]) == 0.0
+
+
+def test_apply_view_requirements_rejects_unknown_kind() -> None:
+    from rl8_tpu.models import DefaultDiscreteModel
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    model = DefaultDiscreteModel(Unbounded(3), Discrete(3, shape=(1,)))
+    with pytest.raises(ValueError, match="view kind"):
+        model.apply_view_requirements({}, kind="latest")
