@@ -401,11 +401,14 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
     # Buffer helpers
     # ------------------------------------------------------------------
 
-    def _zero_buffer(self) -> dict[str, Any]:
+    def _zero_buffer(self, num_envs: None | int = None) -> dict[str, Any]:
         """Time-major rollout buffer counterpart of the reference's
         ``buffer_spec.zero([num_envs, horizon + 1])``
-        (``_feedforward.py:239-256``)."""
-        B, T = self.hparams.num_envs, self.hparams.horizon
+        (``_feedforward.py:239-256``). ``num_envs`` overrides the batch
+        size (``validate()`` builds a tiny one instead of materializing
+        a full-size transient)."""
+        B = self.hparams.num_envs if num_envs is None else num_envs
+        T = self.hparams.horizon
         buf: dict[str, Any] = {
             DataKeys.OBS: self.env.observation_spec.zero((T + 1, B)),
             DataKeys.REWARDS: jnp.zeros((T, B, 1)),
@@ -693,12 +696,16 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             obs_rest,
         )
         values_full = jnp.concatenate([values, v_last[None]], axis=0)
+        # f32 casts pin the buffer template's dtypes: a custom model or
+        # distribution computing in bf16 must not change the dtype of
+        # the scan-carried buffer (train_steps' lax.scan carry would
+        # type-mismatch between trace-in and trace-out).
         new_buffer: dict[str, Any] = {
             DataKeys.OBS: obs_full,
-            DataKeys.REWARDS: rewards,
+            DataKeys.REWARDS: rewards.astype(jnp.float32),
             DataKeys.ACTIONS: actions,
-            DataKeys.LOGP: logp,
-            DataKeys.VALUES: values_full,
+            DataKeys.LOGP: logp.astype(jnp.float32),
+            DataKeys.VALUES: values_full.astype(jnp.float32),
         }
         from ..parallel import gmax, gmean, gmin, gstd
 
@@ -1271,9 +1278,11 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         # than anything training materializes.
         T = self.hparams.horizon
         Bv = min(B, 2)
-        view_batch = jax.tree_util.tree_map(
-            lambda x: x[:Bv], self._training_view_batch(self._zero_buffer())
-        )
+        # Build the zero buffer at Bv envs directly — a full-size
+        # [T+1, num_envs, ...] transient (plus its transposed copy)
+        # could OOM validate() for image-sized observations even though
+        # training itself fits.
+        view_batch = self._training_view_batch(self._zero_buffer(Bv))
         views = self.policy.model.apply_view_requirements(
             view_batch, kind="all"
         )

@@ -304,10 +304,11 @@ class RecurrentAlgorithm(
             )
         return self.policy.model.apply({"params": params}, batch, states)
 
-    def _zero_buffer(self) -> dict[str, Any]:
+    def _zero_buffer(self, num_envs: None | int = None) -> dict[str, Any]:
         """Time-major buffer; adds per-step recurrent states
         (``_recurrent.py:260-278``)."""
-        B, T = self.hparams.num_envs, self.hparams.horizon
+        B = self.hparams.num_envs if num_envs is None else num_envs
+        T = self.hparams.horizon
         buf: dict[str, Any] = {
             DataKeys.OBS: self.env.observation_spec.zero((T + 1, B)),
             DataKeys.STATES: jax.tree_util.tree_map(
@@ -450,13 +451,16 @@ class RecurrentAlgorithm(
             final_states,
         )
         values_full = jnp.concatenate([values, v_last[None]], axis=0)
+        # f32 casts pin the buffer template's dtypes (see the
+        # feedforward counterpart): custom bf16 models must not change
+        # the scan-carried buffer's dtype.
         new_buffer: dict[str, Any] = {
             DataKeys.OBS: obs_full,
             DataKeys.STATES: states_full,
-            DataKeys.REWARDS: rewards,
+            DataKeys.REWARDS: rewards.astype(jnp.float32),
             DataKeys.ACTIONS: actions,
-            DataKeys.LOGP: logp,
-            DataKeys.VALUES: values_full,
+            DataKeys.LOGP: logp.astype(jnp.float32),
+            DataKeys.VALUES: values_full.astype(jnp.float32),
         }
         from ..parallel import gmax, gmean, gmin, gstd
 
