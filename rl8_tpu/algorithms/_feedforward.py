@@ -201,9 +201,15 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
     Examples:
         >>> from rl8_tpu import AlgorithmConfig
         >>> from rl8_tpu.env import DiscreteDummyEnv
-        >>> algo = AlgorithmConfig(num_envs=64).build(DiscreteDummyEnv)
-        >>> algo.collect()  # doctest: +SKIP
-        >>> algo.step()  # doctest: +SKIP
+        >>> algo = AlgorithmConfig(
+        ...     num_envs=4, horizon=4, model_config={"hiddens": (8,)}
+        ... ).build(DiscreteDummyEnv)
+        >>> collect_stats = algo.collect()
+        >>> int(collect_stats["env/steps"])
+        16
+        >>> step_stats = algo.step()
+        >>> "losses/total" in step_stats
+        True
 
     """
 

@@ -58,7 +58,15 @@ class HitsLowerBound:
 
 class HitsUpperBound:
     """``True`` when the monitored value hits an upper bound
-    (``conditions.py:70-93``)."""
+    (``conditions.py:70-93``).
+
+    Examples:
+        >>> from rl8_tpu.conditions import HitsUpperBound
+        >>> cond = HitsUpperBound("env/steps", 100)
+        >>> cond({"env/steps": 99}), cond({"env/steps": 100})
+        (False, True)
+
+    """
 
     key: TrainStatKey
     upper_bound: float
@@ -79,6 +87,12 @@ class Plateaus:
         key: Train stat to monitor.
         patience: Consecutive plateaued evaluations required.
         rtol: Relative tolerance between consecutive values.
+
+    Examples:
+        >>> from rl8_tpu.conditions import Plateaus
+        >>> cond = Plateaus("returns/mean", patience=2, rtol=0.1)
+        >>> [cond({"returns/mean": v}) for v in (1.0, 1.01, 1.02)]
+        [False, False, True]
 
     """
 

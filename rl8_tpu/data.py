@@ -42,6 +42,12 @@ class DataKeys:
     """Common identifiers for elements within batches of data.
 
     Same key set as ``/root/reference/src/rl8/data.py:12-76``.
+
+    Examples:
+        >>> from rl8_tpu.data import DataKeys
+        >>> (DataKeys.OBS, DataKeys.REWARDS, DataKeys.ACTIONS)
+        ('obs', 'rewards', 'actions')
+
     """
 
     OBS = "obs"

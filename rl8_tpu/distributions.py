@@ -91,6 +91,16 @@ class Categorical(Distribution):
     ``features["logits"]`` has shape ``[B, A, n]`` — ``A`` independent
     action components, each with ``n`` categories. Samples are ``[B, A]``
     int32 (``/root/reference/src/rl8/distributions.py:125-132``).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from rl8_tpu.distributions import Categorical
+        >>> dist = Categorical({"logits": jnp.array([[[0.0, 9.0, 0.0]]])})
+        >>> dist.deterministic_sample().tolist()
+        [[1]]
+        >>> float(dist.logp(jnp.array([[1]]))[0, 0]) > -1e-3
+        True
+
     """
 
     @property

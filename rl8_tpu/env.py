@@ -193,7 +193,21 @@ class ContinuousDummyEnv(DummyEnv):
 
 class DiscreteDummyEnv(DummyEnv):
     """Discrete dummy env: the action moves the state left/right one unit
-    (``/root/reference/src/rl8/env.py:233-259``)."""
+    (``/root/reference/src/rl8/env.py:233-259``).
+
+    Examples:
+        >>> import jax
+        >>> import jax.numpy as jnp
+        >>> from rl8_tpu.env import DiscreteDummyEnv
+        >>> env = DiscreteDummyEnv(2)
+        >>> state, obs = env.reset(jax.random.key(0))
+        >>> obs.shape
+        (2, 1)
+        >>> state, obs, rewards = env.step(state, jnp.ones((2, 1), jnp.int32))
+        >>> rewards.shape  # reward = -|position|
+        (2, 1)
+
+    """
 
     def __init__(self, num_envs: int, /, horizon: None | int = None) -> None:
         super().__init__(num_envs, horizon)

@@ -92,7 +92,17 @@ class Model(GenericModelBase):
     @staticmethod
     def default_model_cls(observation_spec: Spec, action_spec: Spec, /) -> type["Model"]:
         """Return a default model class based on the given specs
-        (``models/_feedforward.py:102-133``)."""
+        (``models/_feedforward.py:102-133``).
+
+        Examples:
+            >>> from rl8_tpu.models import Model
+            >>> from rl8_tpu.specs import Discrete, Unbounded
+            >>> Model.default_model_cls(Unbounded(4), Discrete(3, shape=(1,))).__name__
+            'DefaultDiscreteModel'
+            >>> Model.default_model_cls(Unbounded(4), Unbounded(2)).__name__
+            'DefaultContinuousModel'
+
+        """
         if not isinstance(observation_spec, Unbounded):
             raise TypeError(
                 f"Observation spec {observation_spec} has no default model support."

@@ -132,7 +132,17 @@ def masked_avg(
     keepdim: bool = False,
 ) -> jax.Array:
     """Masked average of ``x`` along ``dim``; useful for pooling padded
-    features (``/root/reference/src/rl8/nn/functional.py:147-179``)."""
+    features (``/root/reference/src/rl8/nn/functional.py:147-179``).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from rl8_tpu.nn import masked_avg
+        >>> x = jnp.array([[1.0, 2.0, 9.0]])
+        >>> mask = jnp.array([[True, True, False]])  # True = keep
+        >>> masked_avg(x, mask=mask, dim=1).tolist()
+        [1.5]
+
+    """
     if mask is not None:
         mask = _broadcast_mask(mask, x).astype(x.dtype)
         # Fully-masked rows average to 0 rather than NaN (0/0).

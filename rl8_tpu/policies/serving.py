@@ -118,9 +118,22 @@ class PolicyModel:
     (``policies/_feedforward.py:193-310``).
 
     Examples:
+        >>> import jax
+        >>> import numpy as np
+        >>> from rl8_tpu.policies import Policy
         >>> from rl8_tpu.policies.serving import PolicyModel
-        >>> model = PolicyModel.load("policy.pkl")  # doctest: +SKIP
-        >>> model.predict({"obs": obs_ndarray})  # doctest: +SKIP
+        >>> from rl8_tpu.specs import Discrete, Unbounded
+        >>> policy = Policy(Unbounded(3), Discrete(2, shape=(1,)),
+        ...                 model_config={"hiddens": (8,)})
+        >>> model = PolicyModel(policy, policy.init_params(jax.random.key(0)))
+        >>> df = model.predict({"obs": np.zeros((2, 1, 3), np.float32)})
+        >>> len(df)  # one row per (batch, time) element
+        2
+        >>> sorted(df.columns)
+        ['actions', 'logp', 'values']
+
+        Production paths load an exported policy instead:
+        ``PolicyModel.load("policy.pkl")``.
 
     """
 

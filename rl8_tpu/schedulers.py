@@ -57,6 +57,12 @@ class InterpScheduler:
         schedule: ``[(count, value), ...]`` pairs; the first count must be
             ``0`` to declare the initial value.
 
+    Examples:
+        >>> from rl8_tpu.schedulers import InterpScheduler
+        >>> scheduler = InterpScheduler([(0, 1.0), (100, 0.0)])
+        >>> scheduler.step(50)
+        0.5
+
     """
 
     x: list[int]
@@ -82,6 +88,12 @@ class StepScheduler:
     Args:
         schedule: ``[(count, value), ...]`` pairs; the first count must be
             ``0`` to declare the initial value.
+
+    Examples:
+        >>> from rl8_tpu.schedulers import StepScheduler
+        >>> scheduler = StepScheduler([(0, 0.001), (100, 0.0001)])
+        >>> scheduler.step(99), scheduler.step(100)
+        (0.001, 0.0001)
 
     """
 

@@ -128,6 +128,15 @@ class Bounded(TensorSpec):
 class Discrete(TensorSpec):
     """Categorical/discrete spec with ``n`` categories per element
     (analog of ``torchrl.data.Categorical``).
+
+    Examples:
+        >>> from rl8_tpu.specs import Discrete
+        >>> spec = Discrete(3, shape=(1,))
+        >>> spec.zero((2,)).tolist()
+        [[0], [0]]
+        >>> spec.contains([[2]]), spec.contains([[3]])
+        (True, False)
+
     """
 
     n: int = 2

@@ -69,15 +69,28 @@ class TrainConfig:
     (``/root/reference/src/rl8/trainers/config.py:27-144``).
 
     Examples:
-        Given ``./config.yaml``::
+        Loading a YAML config resolves dotted-path class names:
 
-            env_cls: rl8_tpu.env.DiscreteDummyEnv
-            algorithm_config:
-                horizon: 8
-                gamma: 1
-
+        >>> import pathlib, tempfile
         >>> from rl8_tpu import TrainConfig
-        >>> TrainConfig.from_file("./config.yaml").build().run()  # doctest: +SKIP
+        >>> text = '''
+        ... env_cls: rl8_tpu.env.DiscreteDummyEnv
+        ... algorithm_config:
+        ...     horizon: 8
+        ...     gamma: 1
+        ... '''
+        >>> with tempfile.TemporaryDirectory() as tmp:
+        ...     path = pathlib.Path(tmp, "config.yaml")
+        ...     _ = path.write_text(text)
+        ...     config = TrainConfig.from_file(path)
+        >>> config.env_cls.__name__
+        'DiscreteDummyEnv'
+        >>> config.algorithm_config["gamma"]
+        1
+
+        ``config.build()`` then constructs the trainer, and
+        ``config.build().run(...)`` trains
+        (``/root/reference/src/rl8/trainers/config.py:27-144``).
 
     """
 

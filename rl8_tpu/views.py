@@ -70,6 +70,14 @@ def rolling_window(x: jax.Array, size: int, /, *, step: int = 1) -> jax.Array:
     Counterpart of the reference's unfold+permute
     (``/root/reference/src/rl8/views.py:121-148``), implemented as a
     static gather so it compiles to a fixed-shape ``jnp.take``.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from rl8_tpu.views import rolling_window
+        >>> x = jnp.arange(5).reshape(1, 5)
+        >>> rolling_window(x, 3).tolist()
+        [[[0, 1, 2], [1, 2, 3], [2, 3, 4]]]
+
     """
     T = x.shape[1]
     if T < size:
@@ -187,6 +195,18 @@ class ViewRequirement:
             to include in the output (``shift=0`` passes through).
         method: ``"rolling_window"`` (drops early samples) or
             ``"padded_rolling_window"`` (pads + masks; default).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from rl8_tpu.views import ViewRequirement
+        >>> batch = {"obs": jnp.arange(4.0).reshape(1, 4, 1)}
+        >>> req = ViewRequirement(shift=1, method="rolling_window")
+        >>> req.apply_last("obs", batch).tolist()  # last window only
+        [[[2.0], [3.0]]]
+        >>> req.apply_all("obs", batch).shape  # windows folded into batch
+        (3, 2, 1)
+        >>> req.drop_size
+        1
 
     """
 
