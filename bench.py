@@ -1,7 +1,7 @@
 """Driver benchmark over BASELINE.md's tracked configs.
 
 Prints one JSON line per tracked config — the headline metric first —
-each shaped ``{"metric", "value", "unit", "vs_baseline"}``:
+each shaped ``{"metric", "value", "unit", "vs_baseline", ...}``:
 
 1. ``env_transitions_per_s_with_update`` — feedforward PPO on
    ``DiscreteDummyEnv``, reference default config (the reference's
@@ -20,23 +20,32 @@ each shaped ``{"metric", "value", "unit", "vs_baseline"}``:
    >1 is better).
 5. ``algotrading_env_transitions_per_s_with_update`` — the algotrading
    example with gradient accumulation + mixed precision (tracked config
-   #5; throughput baselined against the same 1M transitions/s).
+   #5; throughput baselined against the same 1M transitions/s). Runs the
+   XLA autodiff path: the on-device ablation recorded in
+   ``docs/performance.md`` measured it FASTER than the fused chain
+   kernels for this config (3.80M vs 2.76M transitions/s), so the
+   faster path is the default.
 
-For throughput metrics ``vs_baseline`` = measured / 1M (higher is
-better).
+Throughput lines carry ``vs_baseline`` = measured / 1M (higher is
+better) plus roofline fields from ``benchmarks/roofline.py``:
+``mfu`` (analytic model-matmul FLOPs vs the v5e 197 TFLOP/s bf16 MXU
+peak) and ``hbm_gbps_util`` (lower-bound HBM bytes vs the 819 GB/s HBM
+peak) — see ``docs/performance.md`` § Roofline accounting.
 
 After the five tracked configs, diagnostic lines cover the other two
-algotrading example models (AttentiveAlpaca, LazyLemur — the reference
-claims throughput holds across its example models), the 1024-wide
-torso regime (where the width-aware kernel tiling engages), and the
-serving path (jitted batch-bucketed ``PolicyModel.predict``,
-predictions/s end to end including the DataFrame conversion).
+algotrading example models (AttentiveAlpaca, LazyLemur), the 1024-wide
+torso regime, and the serving path: throughput plus p50/p99 per-request
+latency at several batch sizes, a recurrent-serving line, and
+``vs_baseline`` stated as jitted-vs-eager speedup on the same request
+(apples to apples on the same hardware).
 """
 
 from __future__ import annotations
 
 import json
 import time
+
+from benchmarks import roofline
 
 REFERENCE_TRANSITIONS_PER_S = 1_000_000.0
 CARTPOLE_BASELINE_SECONDS = 10.0
@@ -56,7 +65,9 @@ def _throughput(algo, num_envs: int, horizon: int, iters: int = 20) -> float:
     return num_envs * horizon * iters / elapsed
 
 
-def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+def _emit(
+    metric: str, value: float, unit: str, vs_baseline: float, **extra
+) -> None:
     print(
         json.dumps(
             {
@@ -64,10 +75,40 @@ def _emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
                 "value": value,
                 "unit": unit,
                 "vs_baseline": vs_baseline,
+                **extra,
             }
         ),
         flush=True,
     )
+
+
+def _roofline_fields(
+    tps: float,
+    *,
+    num_envs: int,
+    horizon: int,
+    fwd_flops_per_row: float,
+    obs_dim: int,
+    params_bytes: float,
+    num_sgd_iters: int = 4,
+    minibatches_per_epoch: int = 1,
+) -> dict[str, float]:
+    seconds_per_iter = num_envs * horizon / tps
+    flops = roofline.iteration_flops(
+        num_envs=num_envs,
+        horizon=horizon,
+        num_sgd_iters=num_sgd_iters,
+        fwd_flops_per_row=fwd_flops_per_row,
+    )
+    hbm = roofline.iteration_hbm_floor(
+        num_envs=num_envs,
+        horizon=horizon,
+        num_sgd_iters=num_sgd_iters,
+        minibatches_per_epoch=minibatches_per_epoch,
+        obs_dim=obs_dim,
+        params_bytes=params_bytes,
+    )
+    return roofline.summarize(flops, hbm, seconds_per_iter)
 
 
 def bench_feedforward() -> None:
@@ -88,6 +129,14 @@ def bench_feedforward() -> None:
         tps,
         "transitions/s",
         tps / REFERENCE_TRANSITIONS_PER_S,
+        **_roofline_fields(
+            tps,
+            num_envs=num_envs,
+            horizon=horizon,
+            fwd_flops_per_row=roofline.twin_torso_flops(1, (256, 256), [2]),
+            obs_dim=1,
+            params_bytes=roofline.params_bytes_twin_torso(1, (256, 256), [2]),
+        ),
     )
 
 
@@ -100,11 +149,24 @@ def bench_recurrent() -> None:
         DiscreteDummyEnv
     )
     tps = _throughput(algo, num_envs, horizon)
+    # Default recurrent model: 1-layer LSTM(1 -> 256) + 2/1-wide heads.
+    fwd = roofline.lstm_flops(1, 256, 1) + roofline.dense_chain_flops(
+        [256, 2]
+    ) + roofline.dense_chain_flops([256, 1])
+    params = roofline.F32 * (4 * 256 * (1 + 256 + 2) + 256 * 3)
     _emit(
         "recurrent_env_transitions_per_s_with_update",
         tps,
         "transitions/s",
         tps / REFERENCE_TRANSITIONS_PER_S,
+        **_roofline_fields(
+            tps,
+            num_envs=num_envs,
+            horizon=horizon,
+            fwd_flops_per_row=fwd,
+            obs_dim=1,
+            params_bytes=params,
+        ),
     )
 
 
@@ -128,6 +190,16 @@ def bench_continuous_squashed() -> None:
         tps,
         "transitions/s",
         tps / REFERENCE_TRANSITIONS_PER_S,
+        **_roofline_fields(
+            tps,
+            num_envs=num_envs,
+            horizon=horizon,
+            fwd_flops_per_row=roofline.twin_torso_flops(1, (256, 256), [1, 1]),
+            obs_dim=1,
+            params_bytes=roofline.params_bytes_twin_torso(
+                1, (256, 256), [1, 1]
+            ),
+        ),
     )
 
 
@@ -167,16 +239,22 @@ def bench_cartpole_time_to_solve() -> None:
     )
 
 
+# The measured-faster forward path per algotrading model at the tracked
+# shape (on-device ablation table in docs/performance.md § "Custom-model
+# path ablation"): the fused chain kernels LOSE to XLA autodiff for
+# these small custom models, so autodiff is the default here.
+_ALGOTRADING_FUSED_DEFAULT = {"mule": False, "alpaca": False, "lemur": False}
+
+
 def _measure_algotrading(model: str, **kwargs) -> dict:
-    """Measure an algotrading model through the fused custom-model path,
-    falling back to the XLA autodiff path if the fused kernels fail on
-    this platform (they are interpret-mode and TPU-gated, but a Mosaic
-    compile rejection on an untested toolchain must not cost the tracked
-    metric its number)."""
+    """Measure an algotrading model through its measured-faster forward
+    path (``_ALGOTRADING_FUSED_DEFAULT``), falling back to XLA autodiff
+    if the fused kernels fail on this platform."""
     from benchmarks.throughput import measure
 
+    fused = _ALGOTRADING_FUSED_DEFAULT[model]
     try:
-        r = measure(model=model, fused_forward=True, **kwargs)
+        r = measure(model=model, fused_forward=fused, **kwargs)
         r["fused"] = r["fused_forward_active"]
     except Exception:
         r = measure(model=model, fused_forward=False, **kwargs)
@@ -185,14 +263,22 @@ def _measure_algotrading(model: str, **kwargs) -> dict:
 
 
 def bench_algotrading() -> None:
-    # The tracked config: MischievousMule + AMP + gradient accumulation,
-    # run through the fused Pallas chain kernels via the model's
-    # FusedApplySpec (docs/custom-models.md), with autodiff fallback.
+    # The tracked config: MischievousMule + AMP + gradient accumulation
+    # (``/root/reference/examples/algotrading``; BASELINE.json config #5).
     num_envs, horizon = 4096, 32
     r = _measure_algotrading(
         "mule", amp=True, num_envs=num_envs, horizon=horizon, iters=5
     )
     tps = r["transitions_per_s"]
+    fields = _roofline_fields(
+        tps,
+        num_envs=num_envs,
+        horizon=horizon,
+        fwd_flops_per_row=roofline.mule_flops(),
+        obs_dim=6,
+        params_bytes=roofline.params_bytes_twin_torso(7, (128, 128), [3]),
+        minibatches_per_epoch=4,
+    )
     print(
         json.dumps(
             {
@@ -201,6 +287,7 @@ def bench_algotrading() -> None:
                 "unit": "transitions/s",
                 "vs_baseline": tps / REFERENCE_TRANSITIONS_PER_S,
                 "fused": r["fused"],
+                **fields,
             }
         ),
         flush=True,
@@ -209,12 +296,32 @@ def bench_algotrading() -> None:
 
 def bench_example_models() -> None:
     """Per-model throughput for the other two algotrading example models
-    (VERDICT r2 item 1: the reference claims throughput holds for its
-    example models). Uses `benchmarks.throughput.measure` — the same
-    harness as the ablation CLI — at the tracked algotrading shape."""
+    (the reference claims throughput holds for its example models). Uses
+    `benchmarks.throughput.measure` — the same harness as the ablation
+    CLI — at the tracked algotrading shape."""
+    model_roofline = {
+        "alpaca": dict(
+            fwd_flops_per_row=roofline.alpaca_flops(),
+            params_bytes=roofline.params_bytes_twin_torso(11, (64, 64), [3])
+            + roofline.F32 * (8 * 24 + 8 * 8 + 8 * 64 + 64 * 8 + 8),
+        ),
+        "lemur": dict(
+            fwd_flops_per_row=roofline.lemur_flops(),
+            params_bytes=roofline.params_bytes_twin_torso(64, (64, 64), [3])
+            + roofline.F32 * 4 * 64 * (4 + 64 + 2),
+        ),
+    }
     for name in ("alpaca", "lemur"):
         r = _measure_algotrading(name, num_envs=4096, horizon=32, iters=5)
         tps = r["transitions_per_s"]
+        fields = _roofline_fields(
+            tps,
+            num_envs=4096,
+            horizon=32,
+            obs_dim=6,
+            minibatches_per_epoch=4,
+            **model_roofline[name],
+        )
         print(
             json.dumps(
                 {
@@ -226,18 +333,68 @@ def bench_example_models() -> None:
                     "unit": "transitions/s",
                     "vs_baseline": tps / REFERENCE_TRANSITIONS_PER_S,
                     "fused": r["fused"],
+                    **fields,
                 }
             ),
             flush=True,
         )
 
 
+def bench_wide_torso() -> None:
+    """The non-tiny-model regime: default model with a 1024-wide twin
+    torso, where the width-aware kernel tiling shrinks the row tile and
+    the system leaves the HBM-bound small-model regime. The MFU figure
+    is the check on docs/performance.md's FLOP-bound-regime claim."""
+    from benchmarks.throughput import measure
+
+    num_envs, horizon = 8192, 32
+    r = measure(
+        num_envs=num_envs, horizon=horizon, hiddens=(1024, 1024), iters=5
+    )
+    tps = r["transitions_per_s"]
+    _emit(
+        "wide_torso_1024_env_transitions_per_s_with_update",
+        tps,
+        "transitions/s",
+        tps / REFERENCE_TRANSITIONS_PER_S,
+        **_roofline_fields(
+            tps,
+            num_envs=num_envs,
+            horizon=horizon,
+            fwd_flops_per_row=roofline.twin_torso_flops(1, (1024, 1024), [2]),
+            obs_dim=1,
+            params_bytes=roofline.params_bytes_twin_torso(
+                1, (1024, 1024), [2]
+            ),
+        ),
+    )
+
+
+def _latency_percentiles(fn, reps: int = 200) -> dict[str, float]:
+    """p50/p99 per-request wall-clock latency of ``fn`` in ms."""
+    import numpy as np
+
+    times = []
+    for _ in range(reps):
+        start = time.perf_counter()
+        fn()
+        times.append((time.perf_counter() - start) * 1e3)
+    return {
+        "p50_ms": float(np.percentile(times, 50)),
+        "p99_ms": float(np.percentile(times, 99)),
+    }
+
+
 def bench_serving() -> None:
-    """Serving-path throughput: predictions/s through the jitted,
-    batch-bucketed ``PolicyModel.predict`` (the reference's serving
-    analog is eager-PyTorch pyfunc predict; no public baseline exists,
-    so ``vs_baseline`` is reported against the training-path transition
-    rate's 1M/s reference for scale)."""
+    """Serving-path metrics through the jitted, batch-bucketed
+    ``PolicyModel.predict``: throughput at the bulk batch size, p50/p99
+    per-request latency at single-row / mid / bulk batch sizes, and
+    ``vs_baseline`` = speedup of the jitted bucketed path over the eager
+    (un-jitted) sample on the SAME single-row request — the honest
+    apples-to-apples basis on this hardware (the reference's serving
+    path is eager torch pyfunc predict,
+    ``/root/reference/src/rl8/policies/_feedforward.py:255-310``)."""
+    import jax
     import numpy as np
 
     from rl8_tpu.data import DataKeys
@@ -246,43 +403,136 @@ def bench_serving() -> None:
     from rl8_tpu.specs import Discrete, Unbounded
 
     policy = Policy(Unbounded(4), Discrete(3, shape=(1,)))
-    import jax
+    params = policy.init_params(jax.random.key(0))
+    model = PolicyModel(policy, params)
+    rng = np.random.default_rng(0)
 
-    model = PolicyModel(policy, policy.init_params(jax.random.key(0)))
-    B, T = 4096, 1
-    obs = np.random.default_rng(0).standard_normal((B, T, 4)).astype(np.float32)
-    request = {DataKeys.OBS: obs}
-    model.predict(request)  # compile
+    def request(B: int) -> dict:
+        return {
+            DataKeys.OBS: rng.standard_normal((B, 1, 4)).astype(np.float32)
+        }
+
+    # Throughput at the bulk size.
+    B = 4096
+    bulk = request(B)
+    model.predict(bulk)  # compile
     reps = 20
     best = float("inf")
     for _ in range(3):
         start = time.perf_counter()
         for _ in range(reps):
-            model.predict(request)
+            model.predict(bulk)
         best = min(best, time.perf_counter() - start)
-    rate = B * T * reps / best
+    rate = B * reps / best
+
+    # Eager (un-jitted) single-row baseline: the same sample the jitted
+    # path runs, dispatched op by op.
+    single = request(1)
+    encoded = {DataKeys.OBS: policy.observation_spec.encode(single[DataKeys.OBS])}
+
+    def eager_once() -> None:
+        out = policy.sample(
+            params,
+            encoded,
+            kind="all",
+            deterministic=True,
+            return_actions=True,
+            return_logp=True,
+            return_values=True,
+        )
+        jax.block_until_ready(out)
+
+    eager_once()
+    model.predict(single)  # compile the 1-row bucket
+    eager = _latency_percentiles(eager_once, reps=50)
+    jitted = _latency_percentiles(lambda: model.predict(single), reps=200)
     _emit(
         "serving_predictions_per_s",
         rate,
         "predictions/s",
-        rate / REFERENCE_TRANSITIONS_PER_S,
+        eager["p50_ms"] / jitted["p50_ms"],
+        baseline_basis="jitted-vs-eager single-row p50 speedup",
+        single_row_p50_ms=jitted["p50_ms"],
+        single_row_p99_ms=jitted["p99_ms"],
+        eager_single_row_p50_ms=eager["p50_ms"],
     )
+    # Per-bucket latency percentiles (the bucketing design's whole point
+    # is tail-latency/compile control).
+    for B in (32, 1024, 4096):
+        req = request(B)
+        model.predict(req)  # compile this bucket
+        pct = _latency_percentiles(lambda: model.predict(req), reps=100)
+        _emit(
+            f"serving_latency_b{B}",
+            pct["p50_ms"],
+            "ms",
+            0.0,
+            p99_ms=pct["p99_ms"],
+        )
 
 
-def bench_wide_torso() -> None:
-    """The non-tiny-model regime (VERDICT r2 item 4): default model with
-    a 1024-wide twin torso, where the width-aware kernel tiling shrinks
-    the row tile and the system leaves the HBM-bound small-model
-    regime."""
-    from benchmarks.throughput import measure
+def bench_recurrent_serving() -> None:
+    """Recurrent serving: jitted ``RecurrentPolicyModel.predict`` with
+    state threading, single-row and bulk latency percentiles.
+    ``vs_baseline`` = jitted-vs-eager single-row p50 speedup (same basis
+    as the feedforward serving line)."""
+    import jax
+    import numpy as np
 
-    r = measure(num_envs=8192, horizon=32, hiddens=(1024, 1024), iters=5)
-    tps = r["transitions_per_s"]
+    from rl8_tpu.data import DataKeys
+    from rl8_tpu.policies import RecurrentPolicy
+    from rl8_tpu.policies.serving import RecurrentPolicyModel
+    from rl8_tpu.specs import Discrete, Unbounded
+
+    policy = RecurrentPolicy(Unbounded(4), Discrete(3, shape=(1,)))
+    params = policy.init_params(jax.random.key(0))
+    model = RecurrentPolicyModel(policy, params)
+    rng = np.random.default_rng(0)
+
+    def request(B: int) -> dict:
+        return {
+            DataKeys.OBS: rng.standard_normal((B, 1, 4)).astype(np.float32)
+        }
+
+    single = request(1)
+    model.predict(single)  # compile
+    jitted = _latency_percentiles(lambda: model.predict(single), reps=200)
+
+    encoded = {DataKeys.OBS: policy.observation_spec.encode(single[DataKeys.OBS])}
+    states = policy.init_states(1)
+
+    def eager_once() -> None:
+        out = policy.sample(
+            params,
+            encoded,
+            states,
+            deterministic=True,
+            return_actions=True,
+            return_logp=True,
+            return_values=True,
+        )
+        jax.block_until_ready(out)
+
+    eager_once()
+    eager = _latency_percentiles(eager_once, reps=50)
+
+    B = 4096
+    bulk = request(B)
+    model.predict(bulk)
+    reps = 20
+    start = time.perf_counter()
+    for _ in range(reps):
+        model.predict(bulk)
+    rate = B * reps / (time.perf_counter() - start)
     _emit(
-        "wide_torso_1024_env_transitions_per_s_with_update",
-        tps,
-        "transitions/s",
-        tps / REFERENCE_TRANSITIONS_PER_S,
+        "recurrent_serving_predictions_per_s",
+        rate,
+        "predictions/s",
+        eager["p50_ms"] / jitted["p50_ms"],
+        baseline_basis="jitted-vs-eager single-row p50 speedup",
+        single_row_p50_ms=jitted["p50_ms"],
+        single_row_p99_ms=jitted["p99_ms"],
+        eager_single_row_p50_ms=eager["p50_ms"],
     )
 
 
@@ -296,6 +546,7 @@ def main() -> None:
         bench_example_models,
         bench_wide_torso,
         bench_serving,
+        bench_recurrent_serving,
     ):
         try:
             bench()

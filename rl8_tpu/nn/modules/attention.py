@@ -103,6 +103,80 @@ class _FFN(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype)(x)
 
 
+class _SmallWindowAttention(nn.Module):
+    """Batch-last multihead attention for TINY windows — parameter- and
+    numerics-compatible with ``nn.MultiHeadDotProductAttention`` (same
+    submodule names/shapes, same query scaling and masking constant).
+
+    Why it exists: TPU vector memory tiles are ``[8 sublanes, 128
+    lanes]`` over the two MINOR dims. The standard attention layout puts
+    the window/head dims minor (``[B, H, S, S]`` scores, ``[B, S, H,
+    dh]`` projections), so with S≈5 and dh≈2 every elementwise op,
+    mask, and softmax moves 16-64x its logical bytes through HBM —
+    measured 13x throughput loss on the algotrading AttentiveAlpaca
+    model (docs/performance.md § custom-model ablation). This
+    implementation transposes once to put the BATCH dim in lanes
+    (``[H, S, S, B]`` scores), unrolls the tiny window sums (head_dim
+    and window terms are Python loops over 2-8 elements), and keeps the
+    big q/k/v/out projections row-major for the MXU. Only the layout
+    changes; the math is flax's, so outputs match the flax path to
+    float-reassociation tolerance (pinned in tests/test_nn).
+    """
+
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jax.Array,
+        kv: jax.Array,
+        mask: None | jax.Array = None,
+    ) -> jax.Array:
+        """``q [B, Q, E]``, ``kv [B, K, E]``, ``mask [B, 1, Q, K]``
+        (True = may attend) -> ``[B, Q, E]``."""
+        B, Q, E = q.shape
+        K = kv.shape[1]
+        H = self.num_heads
+        dh = E // H
+        proj = partial(
+            nn.DenseGeneral, features=(H, dh), axis=-1, dtype=self.dtype
+        )
+        qh = proj(name="query")(q)  # [B, Q, H, dh]
+        kh = proj(name="key")(kv)  # [B, K, H, dh]
+        vh = proj(name="value")(kv)
+        qh = qh / jnp.sqrt(jnp.asarray(dh, dtype=qh.dtype))
+        # One transpose each to batch-last [H, dh, S, B]; everything
+        # downstream is lane-parallel over B.
+        qt = qh.transpose(2, 3, 1, 0)
+        kt = kh.transpose(2, 3, 1, 0)
+        vt = vh.transpose(2, 3, 1, 0)
+        # scores[h, i, j, b] = sum_d q[h, d, i, b] * k[h, d, j, b]
+        scores = qt[:, 0, :, None, :] * kt[:, 0, None, :, :]
+        for d in range(1, dh):
+            scores = scores + qt[:, d, :, None, :] * kt[:, d, None, :, :]
+        if mask is not None:
+            m = mask[:, 0].transpose(1, 2, 0)  # [Q, K, B]
+            big_neg = jnp.finfo(scores.dtype).min
+            scores = jnp.where(m[None], scores, big_neg)
+        p = jax.nn.softmax(scores, axis=2)  # over keys j
+        # out[h, d, i, b] = sum_j p[h, i, j, b] * v[h, d, j, b]
+        out = p[:, None, :, 0, :] * vt[:, :, None, 0, :]
+        for j in range(1, K):
+            out = out + p[:, None, :, j, :] * vt[:, :, None, j, :]
+        out = out.transpose(3, 2, 0, 1)  # [B, Q, H, dh]
+        return nn.DenseGeneral(
+            features=E, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(out)
+
+
+#: Window/feature bounds under which the batch-last layout wins: both
+#: attention dims far below the 128-lane tile and a head_dim far below
+#: the 8-sublane tile. Above these, flax's MXU-shaped layout is right.
+_SMALL_WINDOW_MAX_SEQ = 16
+_SMALL_WINDOW_MAX_EMBED = 64
+
+
 class _AttentionBlock(nn.Module):
     """Shared attention + feedforward + skip structure used by both
     cross- and self-attention (reference: ``attention.py:82-195``)."""
@@ -141,13 +215,28 @@ class _AttentionBlock(nn.Module):
         mask = _combine_masks(
             q.shape[0], q.shape[1], kv.shape[1], key_padding_mask, attention_mask
         )
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            dropout_rate=self.attention_dropout,
-            deterministic=deterministic,
-            dtype=self.dtype,
-            name="attention",
-        )(q_normed, kv_normed, kv_normed, mask=mask)
+        # Tiny windows take the batch-last layout (parameter-compatible,
+        # numerics match to reassociation); attention dropout needs
+        # flax's in-kernel RNG plumbing, so it stays on the flax path.
+        small = (
+            q.shape[1] <= _SMALL_WINDOW_MAX_SEQ
+            and kv.shape[1] <= _SMALL_WINDOW_MAX_SEQ
+            and q.shape[-1] <= _SMALL_WINDOW_MAX_EMBED
+            and q.shape[-1] % self.num_heads == 0
+            and (self.attention_dropout == 0.0 or deterministic)
+        )
+        if small:
+            attn = _SmallWindowAttention(
+                num_heads=self.num_heads, dtype=self.dtype, name="attention"
+            )(q_normed, kv_normed, mask=mask)
+        else:
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                dropout_rate=self.attention_dropout,
+                deterministic=deterministic,
+                dtype=self.dtype,
+                name="attention",
+            )(q_normed, kv_normed, kv_normed, mask=mask)
 
         # The FFN's width matches the value entering the skip connection:
         # embed_dim after the fan-in for "cat", embed_dim for "residual"/None

@@ -196,3 +196,50 @@ def test_apply_view_requirements_rejects_unknown_kind() -> None:
     model = DefaultDiscreteModel(Unbounded(3), Discrete(3, shape=(1,)))
     with pytest.raises(ValueError, match="view kind"):
         model.apply_view_requirements({}, kind="latest")
+
+
+def test_small_window_attention_matches_flax() -> None:
+    """The batch-last tiny-window attention layout is parameter- and
+    numerics-compatible with flax's MultiHeadDotProductAttention: the
+    SAME parameters applied through both implementations agree to
+    float-reassociation tolerance, with and without padding masks."""
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rl8_tpu.nn.modules.attention import _SmallWindowAttention
+
+    B, S, E, H = 64, 5, 8, 4
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (B, S, E))
+    small = _SmallWindowAttention(num_heads=H)
+    flax_attn = fnn.MultiHeadDotProductAttention(num_heads=H)
+    params = small.init(key, x, x)["params"]
+
+    got = small.apply({"params": params}, x, x)
+    want = flax_attn.apply({"params": params}, x, x, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # Padding mask: True = may attend (flax convention), same constant.
+    mask = jax.random.bernoulli(jax.random.key(2), 0.7, (B, 1, S, S))
+    mask = mask.at[..., 0].set(True)  # no fully-masked query rows
+    got = small.apply({"params": params}, x, x, mask=mask)
+    want = flax_attn.apply({"params": params}, x, x, x, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_small_window_gate_large_windows_use_flax_path() -> None:
+    """Windows/embeds beyond the tiny-tile bounds keep flax's MXU-shaped
+    attention; the two paths share parameter structure either way, so
+    the gate never changes checkpoint layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from rl8_tpu.nn import SelfAttention
+
+    big = SelfAttention(embed_dim=128, num_heads=4, hidden_dim=64)
+    x = jnp.ones((2, 32, 128))
+    params = big.init(jax.random.key(0), x)["params"]
+    out = big.apply({"params": params}, x)
+    assert out.shape == (2, 32, 128)
