@@ -1,138 +1,218 @@
-"""Learning-curve parity runs: CartPole + Pendulum with the reference
-examples' hyperparameters.
+"""Learning-curve parity against the REFERENCE's own recorded curves.
 
-Runs each example with the exact run-script hyperparameters of the
-reference (``/root/reference/examples/cartpole/__main__.py:11-22``:
-horizon=64, 40 trainer steps; ``pendulum/__main__.py:11-23``:
-horizon=128, horizons_per_env_reset=4, 100 trainer steps), writes
-returns-vs-env-steps curves to ``benchmarks/curves/{name}.jsonl``, and
-asserts the BASELINE.md targets:
+BASELINE.md's target is "learning-curve parity with the reference on
+CartPole/Pendulum within seed variance"
+(``/root/reference/README.md:16-20``). Earlier rounds asserted
+self-chosen thresholds; this harness derives them from the reference
+itself:
 
-- CartPole solves (shaped ``returns/mean`` near its 0 optimum) within
-  the 40-step budget and within seconds of post-compile wall clock —
-  the reference's "solved within seconds" claim
-  (``/root/reference/README.md:16-20``).
-- Pendulum's return improves substantially over training (the
-  reference's docs figure shows the same qualitative curve; its reward
-  shaping also peaks at 0).
+1. ``benchmarks/reference_impl/record.py`` runs the REFERENCE library
+   (via dep shims; its full test suite passes under them) on CPU and
+   writes ground-truth curves to ``benchmarks/curves/reference/``.
+2. This module runs OUR implementation at the SAME hyperparameters and
+   num_envs, writing curves to ``benchmarks/curves/``.
+3. ``check_parity`` asserts, per config, that our final performance
+   reaches the reference's seed band: ours_final >= ref_band_low where
+   ref_band_low = min over reference seeds of the final-quarter mean
+   return, widened by 2x the reference's cross-seed std (the "within
+   seed variance" criterion). Both implementations' rewards peak at 0
+   on every tracked env, so the band is scale-free.
 
-Each JSONL record: ``{"step", "env_steps", "returns_mean",
-"seconds_post_compile"}``. Curves are committed to the repo as the
-parity artifact; re-run on TPU hardware to refresh.
+The recorded curves use num_envs=256 (this host exposes ONE CPU core;
+a full 8192-env reference run takes hours per seed). All other
+hyperparameters are the reference example run scripts' own. The parity
+comparison is apples-to-apples: both sides run the same num_envs, and
+the committed curve files carry their config in a meta line.
 
-Example:
-    python -m benchmarks.parity            # run both, write curves
-    python -m benchmarks.parity cartpole   # one env
+Examples:
+    python -m benchmarks.parity                 # run ours + check all
+    python -m benchmarks.parity cartpole        # one config
+    python -m benchmarks.parity --check-only    # assert committed curves
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import math
 import os
-import sys
 import time
 
-CURVES_DIR = os.path.join(os.path.dirname(__file__), "curves")
+CURVES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "curves")
+REFERENCE_CURVES_DIR = os.path.join(CURVES_DIR, "reference")
 
-#: Solve thresholds on the shaped ``returns/mean`` (both rewards peak at
-#: 0 per step): CartPole ~-0.25/step over horizon 64; Pendulum averages
-#: its cost over 128 steps after 4-horizon resets.
-CARTPOLE_SOLVED = -16.0
-PENDULUM_IMPROVEMENT = 0.5  # fraction of the initial cost eliminated
+#: num_envs shared by the reference recordings and our parity runs.
+PARITY_NUM_ENVS = 256
+
+#: Trainer steps and builder hyperparameters per config — the reference
+#: example run scripts' values
+#: (``/root/reference/examples/*/__main__.py``).
+CONFIGS: dict[str, dict] = {
+    "cartpole": {"steps": 40},
+    "pendulum": {"steps": 100},
+    "mountain_car": {"steps": 40},
+    "algotrading": {"steps": 40},
+    "recurrent": {"steps": 40},
+}
 
 
-def _run(name: str, make_algo, max_steps: int) -> dict:
-    algo = make_algo()
+def _build(name: str, num_envs: int, seed: int):
+    from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
+
+    if name == "cartpole":
+        from examples.cartpole.env import CartPole
+
+        return AlgorithmConfig(
+            horizon=64, num_envs=num_envs, seed=seed
+        ).build(CartPole)
+    if name == "pendulum":
+        from examples.pendulum.env import Pendulum
+
+        return AlgorithmConfig(
+            horizon=128, horizons_per_env_reset=4, num_envs=num_envs, seed=seed
+        ).build(Pendulum)
+    if name == "mountain_car":
+        from examples.mountain_car.env import MountainCar
+
+        return AlgorithmConfig(
+            horizon=128, horizons_per_env_reset=4, num_envs=num_envs, seed=seed
+        ).build(MountainCar)
+    if name == "algotrading":
+        from examples.algotrading.env import AlgoTrading
+        from examples.algotrading.models import MischievousMule
+
+        return AlgorithmConfig(
+            model_cls=MischievousMule, num_envs=num_envs, seed=seed
+        ).build(AlgoTrading)
+    if name == "recurrent":
+        from rl8_tpu.env import DiscreteDummyEnv
+
+        return RecurrentAlgorithmConfig(num_envs=num_envs, seed=seed).build(
+            DiscreteDummyEnv
+        )
+    raise ValueError(f"unknown parity config {name!r}")
+
+
+def run_ours(
+    name: str, *, num_envs: int = PARITY_NUM_ENVS, seed: int = 0
+) -> str:
+    """Train our implementation and write one curve file; returns the
+    path. Mirrors ``reference_impl.record`` exactly (same record
+    schema, same meta line)."""
+    steps = CONFIGS[name]["steps"]
+    algo = _build(name, num_envs, seed)
     records = []
+    env_steps = 0
     t0 = time.perf_counter()
-    stats = algo.train_steps(1)[0]  # compile + first step
+    algo.train_steps(1)  # compile outside the timed window
     compile_s = time.perf_counter() - t0
+    algo = _build(name, num_envs, seed)  # fresh state, warm cache
     start = time.perf_counter()
-    env_steps = stats["env/steps"]
-    records.append(
-        {
-            "step": 1,
-            "env_steps": env_steps,
-            "returns_mean": stats["returns/mean"],
-            "seconds_post_compile": 0.0,
-        }
-    )
-    for step in range(2, max_steps + 1):
+    for step in range(1, steps + 1):
         stats = algo.train_steps(1)[0]
-        env_steps += stats["env/steps"]
+        env_steps += int(stats["env/steps"])
         records.append(
             {
                 "step": step,
                 "env_steps": env_steps,
                 "returns_mean": stats["returns/mean"],
-                "seconds_post_compile": time.perf_counter() - start,
+                "returns_std": stats["returns/std"],
+                "seconds": time.perf_counter() - start,
             }
         )
     os.makedirs(CURVES_DIR, exist_ok=True)
-    path = os.path.join(CURVES_DIR, f"{name}.jsonl")
+    path = os.path.join(CURVES_DIR, f"{name}_seed{seed}.jsonl")
+    meta = {
+        "config": name,
+        "seed": seed,
+        "num_envs": num_envs,
+        "horizon": algo.hparams.horizon,
+        "compile_s": compile_s,
+        "source": "rl8_tpu",
+    }
     with open(path, "w") as f:
+        f.write(json.dumps({"meta": meta}) + "\n")
         for r in records:
             f.write(json.dumps(r) + "\n")
-    return {
-        "name": name,
-        "compile_s": compile_s,
-        "total_seconds_post_compile": records[-1]["seconds_post_compile"],
-        "first_return": records[0]["returns_mean"],
-        "best_return": max(r["returns_mean"] for r in records),
-        "final_return": records[-1]["returns_mean"],
-        "curve": path,
+    return path
+
+
+def load_curve(path: str) -> tuple[dict, list[dict]]:
+    with open(path) as f:
+        lines = [json.loads(line) for line in f if line.strip()]
+    if lines and "meta" in lines[0]:
+        return lines[0]["meta"], lines[1:]
+    return {}, lines
+
+
+def _final_quarter_mean(records: list[dict]) -> float:
+    tail = records[-max(1, len(records) // 4) :]
+    return sum(r["returns_mean"] for r in tail) / len(tail)
+
+
+def _curves(directory: str, name: str) -> list[tuple[dict, list[dict]]]:
+    out = []
+    for fn in sorted(os.listdir(directory)):
+        if fn.startswith(f"{name}_seed") and fn.endswith(".jsonl"):
+            out.append(load_curve(os.path.join(directory, fn)))
+    return out
+
+
+def check_parity(name: str) -> dict:
+    """Assert our committed curves reach the reference's seed band.
+
+    Returns a summary dict (raises AssertionError on failure).
+    """
+    ref = _curves(REFERENCE_CURVES_DIR, name)
+    ours = _curves(CURVES_DIR, name)
+    assert ref, f"no reference curves recorded for {name!r}"
+    assert ours, f"no rl8_tpu curves recorded for {name!r}"
+    for meta, _ in ref + ours:
+        assert meta.get("num_envs") == PARITY_NUM_ENVS, (
+            f"{name}: curve recorded at num_envs={meta.get('num_envs')} —"
+            f" parity compares at {PARITY_NUM_ENVS}"
+        )
+    ref_finals = [_final_quarter_mean(r) for _, r in ref]
+    our_finals = [_final_quarter_mean(r) for _, r in ours]
+    n = len(ref_finals)
+    ref_mean = sum(ref_finals) / n
+    ref_std = (
+        math.sqrt(sum((x - ref_mean) ** 2 for x in ref_finals) / (n - 1))
+        if n > 1
+        else abs(ref_mean) * 0.05
+    )
+    band_low = min(ref_finals) - 2 * ref_std
+    summary = {
+        "config": name,
+        "reference_final_returns": ref_finals,
+        "ours_final_returns": our_finals,
+        "band_low": band_low,
     }
-
-
-def run_cartpole() -> dict:
-    from examples.cartpole.env import CartPole
-    from rl8_tpu import AlgorithmConfig
-
-    summary = _run(
-        "cartpole",
-        lambda: AlgorithmConfig(horizon=64).build(CartPole),
-        max_steps=40,
-    )
-    summary["solved"] = summary["best_return"] > CARTPOLE_SOLVED
-    assert summary["solved"], (
-        f"CartPole did not reach returns/mean > {CARTPOLE_SOLVED} within"
-        f" 40 steps (best {summary['best_return']:.2f})"
-    )
-    assert summary["total_seconds_post_compile"] < 60.0, (
-        "CartPole 40-step budget took"
-        f" {summary['total_seconds_post_compile']:.1f}s post-compile —"
-        " not 'within seconds'"
-    )
-    return summary
-
-
-def run_pendulum() -> dict:
-    from examples.pendulum.env import Pendulum
-    from rl8_tpu import AlgorithmConfig
-
-    summary = _run(
-        "pendulum",
-        lambda: AlgorithmConfig(
-            horizon=128, horizons_per_env_reset=4
-        ).build(Pendulum),
-        max_steps=100,
-    )
-    first, best = summary["first_return"], summary["best_return"]
-    improvement = (best - first) / abs(first) if first else 0.0
-    summary["improvement"] = improvement
-    assert improvement > PENDULUM_IMPROVEMENT, (
-        f"Pendulum eliminated only {improvement:.0%} of its initial cost"
-        f" ({first:.1f} -> {best:.1f})"
-    )
+    for i, ours_final in enumerate(our_finals):
+        assert ours_final >= band_low, (
+            f"{name} seed {i}: final return {ours_final:.3f} below the"
+            f" reference seed band (min {min(ref_finals):.3f} - 2*std"
+            f" {ref_std:.3f} = {band_low:.3f})"
+        )
     return summary
 
 
 def main() -> None:
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    runners = {"cartpole": run_cartpole, "pendulum": run_pendulum}
-    for name, runner in runners.items():
-        if which in (name, "all"):
-            print(json.dumps(runner()), flush=True)
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("configs", nargs="*", default=list(CONFIGS))
+    parser.add_argument("--seeds", type=int, default=3)
+    parser.add_argument(
+        "--check-only",
+        action="store_true",
+        help="skip training; assert the committed curves",
+    )
+    args = parser.parse_args()
+    for name in args.configs:
+        if not args.check_only:
+            for seed in range(args.seeds):
+                path = run_ours(name, seed=seed)
+                print(f"wrote {path}", flush=True)
+        print(json.dumps(check_parity(name)), flush=True)
 
 
 if __name__ == "__main__":
