@@ -30,7 +30,10 @@ parser.add_argument(
     action="store_true",
     help=(
         "Run the model through the fused Pallas chain kernels on TPU"
-        " (every algotrading model declares a fused apply spec)."
+        " (every algotrading model declares a fused apply spec). Off by"
+        " default: the on-device ablation (docs/performance.md) measured"
+        " XLA autodiff FASTER for these models — the custom_vjp kernel"
+        " boundary forces the assembly activations through HBM."
     ),
 )
 args = parser.parse_args()
