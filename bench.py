@@ -267,7 +267,7 @@ def bench_algotrading() -> None:
     # (``/root/reference/examples/algotrading``; BASELINE.json config #5).
     num_envs, horizon = 4096, 32
     r = _measure_algotrading(
-        "mule", amp=True, num_envs=num_envs, horizon=horizon, iters=5
+        "mule", amp=True, num_envs=num_envs, horizon=horizon, iters=20
     )
     tps = r["transitions_per_s"]
     fields = _roofline_fields(
@@ -312,7 +312,7 @@ def bench_example_models() -> None:
         ),
     }
     for name in ("alpaca", "lemur"):
-        r = _measure_algotrading(name, num_envs=4096, horizon=32, iters=5)
+        r = _measure_algotrading(name, num_envs=4096, horizon=32, iters=20)
         tps = r["transitions_per_s"]
         fields = _roofline_fields(
             tps,
@@ -349,7 +349,7 @@ def bench_wide_torso() -> None:
 
     num_envs, horizon = 8192, 32
     r = measure(
-        num_envs=num_envs, horizon=horizon, hiddens=(1024, 1024), iters=5
+        num_envs=num_envs, horizon=horizon, hiddens=(1024, 1024), iters=20
     )
     tps = r["transitions_per_s"]
     _emit(
