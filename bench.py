@@ -385,6 +385,26 @@ def _latency_percentiles(fn, reps: int = 200) -> dict[str, float]:
     }
 
 
+def _dispatch_floor_ms() -> float:
+    """p50 round-trip of a trivial one-op device program — the latency
+    FLOOR any predict pays on this link (on the tunneled bench TPU this
+    is tens of ms of RTT; on a local chip it is microseconds). Emitted
+    on the serving lines so their absolute p50s read correctly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    one = jnp.ones(())
+    add = jax.jit(lambda x: x + 1)
+    jax.block_until_ready(add(one))
+    times = []
+    for _ in range(50):
+        start = time.perf_counter()
+        jax.block_until_ready(add(one))
+        times.append((time.perf_counter() - start) * 1e3)
+    return float(np.percentile(times, 50))
+
+
 def bench_serving() -> None:
     """Serving-path metrics through the jitted, batch-bucketed
     ``PolicyModel.predict``: throughput at the bulk batch size, p50/p99
@@ -455,6 +475,7 @@ def bench_serving() -> None:
         single_row_p50_ms=jitted["p50_ms"],
         single_row_p99_ms=jitted["p99_ms"],
         eager_single_row_p50_ms=eager["p50_ms"],
+        dispatch_floor_ms=_dispatch_floor_ms(),
     )
     # Per-bucket latency percentiles (the bucketing design's whole point
     # is tail-latency/compile control).
@@ -533,6 +554,7 @@ def bench_recurrent_serving() -> None:
         single_row_p50_ms=jitted["p50_ms"],
         single_row_p99_ms=jitted["p99_ms"],
         eager_single_row_p50_ms=eager["p50_ms"],
+        dispatch_floor_ms=_dispatch_floor_ms(),
     )
 
 
