@@ -64,6 +64,11 @@ def main() -> None:
     parser.add_argument("--horizon", type=int, default=32)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--top", type=int, default=25)
+    parser.add_argument(
+        "--amp", action="store_true",
+        help="bf16 compute + gradient accumulation (the tracked "
+        "algotrading config)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -78,7 +83,7 @@ def main() -> None:
             args.model,
             None,
             False,
-            False,
+            args.amp,
             num_envs=args.num_envs,
             horizon=args.horizon,
             sgd_minibatch_size=args.num_envs * args.horizon // 4,

@@ -17,7 +17,8 @@ from rl8_tpu.data import DataKeys
 from ._common import action_mask_logits
 from rl8_tpu.models import GenericRecurrentModel, small_uniform_init
 from rl8_tpu.models._recurrent import _StackedLSTM, _lstm_state_spec
-from rl8_tpu.nn import MLP, get_activation
+from rl8_tpu.nn import MLP, OneHotEmbed, get_activation
+from rl8_tpu.nn.modules.embeddings import one_hot_embed
 from rl8_tpu.specs import Composite
 
 __all__ = ["LazyLemur"]
@@ -53,7 +54,7 @@ class LazyLemur(GenericRecurrentModel):
     ) -> tuple[tuple[dict[str, jax.Array], jax.Array], Any]:
         obs = batch[DataKeys.OBS]
         B, T = obs["invested"].shape[:2]
-        x_invested = nn.Embed(2, self.invested_embed_dim, name="invested_embedding")(
+        x_invested = OneHotEmbed(2, self.invested_embed_dim, name="invested_embedding")(
             obs["invested"].reshape(-1)
         ).reshape(B, T, -1)
         x = jnp.concatenate(
@@ -107,8 +108,8 @@ class LazyLemur(GenericRecurrentModel):
             obs = batch[DataKeys.OBS]
             B, T = obs["invested"].shape[:2]
             emb = params["invested_embedding"]["embedding"]
-            x_invested = jnp.take(
-                emb, obs["invested"].reshape(-1), axis=0
+            x_invested = one_hot_embed(
+                emb, obs["invested"].reshape(-1)
             ).reshape(B, T, -1)
             x = jnp.concatenate(
                 [

@@ -20,7 +20,8 @@ from rl8_tpu.data import DataKeys
 
 from ._common import action_mask_logits
 from rl8_tpu.models import GenericModel, small_uniform_init
-from rl8_tpu.nn import MLP, get_activation
+from rl8_tpu.nn import MLP, OneHotEmbed, get_activation
+from rl8_tpu.nn.modules.embeddings import one_hot_embed
 from rl8_tpu.views import ViewRequirement
 
 __all__ = ["MischievousMule"]
@@ -74,7 +75,7 @@ class MischievousMule(GenericModel):
     @nn.compact
     def __call__(self, batch: Any) -> tuple[dict[str, jax.Array], jax.Array]:
         obs = batch[DataKeys.OBS]
-        x_invested = nn.Embed(2, self.invested_embed_dim, name="invested_embedding")(
+        x_invested = OneHotEmbed(2, self.invested_embed_dim, name="invested_embedding")(
             obs["invested"].reshape(-1)
         )
         x = jnp.concatenate(
@@ -121,7 +122,7 @@ class MischievousMule(GenericModel):
         def assemble(params: Any, batch: Any) -> jax.Array:
             obs = batch[DataKeys.OBS]
             emb = params["invested_embedding"]["embedding"]
-            x_invested = jnp.take(emb, obs["invested"].reshape(-1), axis=0)
+            x_invested = one_hot_embed(emb, obs["invested"].reshape(-1))
             x = jnp.concatenate(
                 [
                     x_invested,

@@ -18,7 +18,8 @@ from rl8_tpu.data import DataKeys
 
 from ._common import action_mask_logits
 from rl8_tpu.models import GenericModel, small_uniform_init
-from rl8_tpu.nn import MLP, SelfAttentionStack, get_activation, masked_avg
+from rl8_tpu.nn import MLP, OneHotEmbed, SelfAttentionStack, get_activation, masked_avg
+from rl8_tpu.nn.modules.embeddings import one_hot_embed
 from rl8_tpu.views import ViewRequirement
 
 __all__ = ["AttentiveAlpaca"]
@@ -59,7 +60,7 @@ class AttentiveAlpaca(GenericModel):
     @nn.compact
     def __call__(self, batch: Any) -> tuple[dict[str, jax.Array], jax.Array]:
         obs = batch[DataKeys.OBS]
-        x_invested = nn.Embed(2, self.invested_embed_dim, name="invested_embedding")(
+        x_invested = OneHotEmbed(2, self.invested_embed_dim, name="invested_embedding")(
             obs["invested"].reshape(-1)
         )
         padding_mask = obs["LOG_CHANGE(price)"][DataKeys.PADDING_MASK]
@@ -114,8 +115,8 @@ class AttentiveAlpaca(GenericModel):
 
         def assemble(params: Any, batch: Any) -> jax.Array:
             obs = batch[DataKeys.OBS]
-            x_invested = nn.Embed(2, self.invested_embed_dim).apply(
-                {"params": params["invested_embedding"]},
+            x_invested = one_hot_embed(
+                params["invested_embedding"]["embedding"],
                 obs["invested"].reshape(-1),
             )
             padding_mask = obs["LOG_CHANGE(price)"][DataKeys.PADDING_MASK]

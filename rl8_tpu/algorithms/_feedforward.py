@@ -25,6 +25,7 @@ a pure function — which is also what makes multi-chip sharding (see
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Any, Callable
 
@@ -99,6 +100,14 @@ class AlgorithmConfig:
     num_sgd_iters: int = 4
     #: Shuffle minibatches each epoch.
     shuffle_minibatches: bool = True
+    #: Rows per shuffle unit: each epoch permutes blocks of this many
+    #: consecutive buffer rows instead of single rows. TPU gathers pay a
+    #: fixed per-row cost, so 8-row blocks make the per-epoch shuffle
+    #: ~8x cheaper (a multi-ms cost at tracked shapes); blocks are
+    #: clamped to divide the minibatch size. ``1`` restores the
+    #: reference's exact row-level uniform shuffle (PARITY.md records
+    #: the deviation).
+    shuffle_block_rows: int = 8
     #: PPO clip parameter.
     clip_param: float = 0.2
     #: Value-function clip parameter.
@@ -266,6 +275,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             num_sgd_iters=config.num_sgd_iters,
             sgd_minibatch_size=sgd_minibatch_size,
             shuffle_minibatches=config.shuffle_minibatches,
+            shuffle_block_rows=config.shuffle_block_rows,
             target_kl_div=config.target_kl_div,
             vf_clip_param=config.vf_clip_param,
             vf_coeff=config.vf_coeff,
@@ -1036,8 +1046,16 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 # With one minibatch per epoch the loss is permutation-
                 # invariant, so the shuffle gather is skipped.
                 if h.shuffle_minibatches and M > 1:
-                    perm = jax.random.permutation(epoch_key, N)
-                    shuffled = jnp.take(packed, perm, axis=0)
+                    # Permute fixed blocks of consecutive rows instead of
+                    # single rows: TPU gathers pay a fixed per-row cost,
+                    # so fetching blk-row blocks cuts the shuffle's cost
+                    # ~blk-fold. blk divides mb_rows, so minibatch
+                    # boundaries never split a block; blk=1 is the
+                    # reference's exact row-level shuffle (PARITY.md).
+                    from ..ops import block_shuffle
+
+                    blk = math.gcd(h.effective_shuffle_block, mb_rows)
+                    shuffled = block_shuffle(packed, epoch_key, blk)
                 else:
                     shuffled = packed
                 mbs = shuffled.reshape(M, mb_rows, D)

@@ -16,6 +16,7 @@ Mirrors the behavioral contract of ``/root/reference/src/rl8/data.py``
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Any, Literal, TypedDict
 
@@ -91,6 +92,7 @@ class AlgorithmHparams:
     num_sgd_iters: int
     sgd_minibatch_size: int
     shuffle_minibatches: bool
+    shuffle_block_rows: int = 8
     target_kl_div: None | float
     vf_clip_param: float
     vf_coeff: float
@@ -114,6 +116,8 @@ class AlgorithmHparams:
             raise ValueError("`num_sgd_iters` must be > 0.")
         if not (self.sgd_minibatch_size > 0):
             raise ValueError("`sgd_minibatch_size` must be > 0.")
+        if not (self.shuffle_block_rows > 0):
+            raise ValueError("`shuffle_block_rows` must be > 0.")
         if self.target_kl_div is not None and self.accumulate_grads:
             raise ValueError(
                 "KL-based early stopping (`target_kl_div`) can't be combined with"
@@ -136,6 +140,16 @@ class AlgorithmHparams:
     @property
     def num_minibatches(self) -> int:
         return (self.num_envs * self.horizon) // self.sgd_minibatch_size
+
+    @property
+    def effective_shuffle_block(self) -> int:
+        """Rows per epoch-shuffle unit, clamped so blocks never straddle
+        a minibatch boundary: ``gcd(shuffle_block_rows,
+        sgd_minibatch_size)``. TPU gathers pay a fixed per-row cost, so
+        permuting 8-row blocks instead of single rows makes the per-epoch
+        minibatch shuffle ~8x cheaper; 1 restores the reference's exact
+        row-level uniform shuffle (see PARITY.md)."""
+        return math.gcd(self.shuffle_block_rows, self.sgd_minibatch_size)
 
     def validate(self) -> "AlgorithmHparams":
         """Cross-field validation deferred past ``__post_init__``."""

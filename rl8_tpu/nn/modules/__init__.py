@@ -3,7 +3,7 @@
 
 from .activations import ACTIVATIONS, SquaredReLU, get_activation, squared_relu
 from .attention import CrossAttention, PointerNetwork, SelfAttention, SelfAttentionStack
-from .embeddings import PositionalEmbedding
+from .embeddings import OneHotEmbed, PositionalEmbedding
 from .mlp import MLP
 from .perceiver import PerceiverIOLayer, PerceiverLayer
 from .skip import SequentialSkipConnection
@@ -16,6 +16,7 @@ __all__ = [
     "PerceiverIOLayer",
     "PerceiverLayer",
     "PointerNetwork",
+    "OneHotEmbed",
     "PositionalEmbedding",
     "SelfAttention",
     "SelfAttentionStack",

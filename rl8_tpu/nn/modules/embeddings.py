@@ -6,13 +6,14 @@ Flax counterpart of ``/root/reference/src/rl8/nn/modules/embeddings.py``.
 from __future__ import annotations
 
 import functools
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PositionalEmbedding"]
+__all__ = ["OneHotEmbed", "PositionalEmbedding"]
 
 
 def sinusoidal_embedding(max_len: int, embed_dim: int) -> np.ndarray:
@@ -32,6 +33,55 @@ def _cached_embedding(max_len: int, embed_dim: int) -> np.ndarray:
     shape instead of on every (eager) forward call and retrace (the
     reference registers it once as a module buffer)."""
     return sinusoidal_embedding(max_len, embed_dim)
+
+
+class OneHotEmbed(nn.Module):
+    """Tiny-vocabulary embedding lookup as a one-hot matmul.
+
+    Drop-in replacement for ``flax.linen.Embed`` (identical parameter
+    layout — an ``embedding`` table of shape
+    ``[num_embeddings, features]`` with the same default initializer —
+    and identical outputs) for *small* vocabularies such as binary
+    flags. ``nn.Embed`` lowers to a per-row dynamic gather, which TPUs
+    execute row-serially (~1 row/cycle: ~35 µs forward plus a
+    scatter-add backward for a 32k-row minibatch); a ``[N, V] @ [V, F]``
+    one-hot contraction is a dense VPU/MXU op that XLA fuses into the
+    surrounding computation for both forward and backward.
+
+    Args:
+        num_embeddings: Vocabulary size (keep small — the one-hot
+            contraction does ``V`` MACs per row).
+        features: Embedding feature dimension.
+        dtype: Optional compute dtype for the contraction (the table is
+            stored in f32 like ``nn.Embed``'s default).
+
+    """
+
+    num_embeddings: int
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, idx: jax.Array) -> jax.Array:
+        table = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "normal", out_axis=0
+            ),
+            (self.num_embeddings, self.features),
+        )
+        return one_hot_embed(table, idx, dtype=self.dtype)
+
+
+def one_hot_embed(
+    table: jax.Array, idx: jax.Array, dtype: Any = None
+) -> jax.Array:
+    """Functional form of :class:`OneHotEmbed` for fused-spec
+    ``assemble`` functions that hold the raw flax param tree."""
+    if dtype is not None:
+        table = table.astype(dtype)
+    onehot = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+    return onehot @ table
 
 
 class PositionalEmbedding(nn.Module):

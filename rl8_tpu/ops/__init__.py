@@ -7,6 +7,6 @@ reverse-time GAE scan.
 """
 
 from .gae import gae_fits_vmem, pallas_gae
-from .packing import RowUnpacker, pack_rows
+from .packing import RowUnpacker, block_shuffle, pack_rows
 
-__all__ = ["RowUnpacker", "gae_fits_vmem", "pack_rows", "pallas_gae"]
+__all__ = ["RowUnpacker", "block_shuffle", "gae_fits_vmem", "pack_rows", "pallas_gae"]

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pack_rows", "RowUnpacker"]
+__all__ = ["block_shuffle", "pack_rows", "RowUnpacker"]
 
 # Lossless widening for sub-4-byte dtypes (then bitcast to int32).
 _WIDEN: dict[Any, Any] = {
@@ -107,3 +107,21 @@ def pack_rows(tree: Any) -> tuple[jax.Array, RowUnpacker]:
         offset += width
     packed = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
     return packed, RowUnpacker(treedef, tuple(metas))
+
+
+def block_shuffle(packed: jax.Array, key: jax.Array, blk: int) -> jax.Array:
+    """Uniformly permute ``packed [N, D]`` in blocks of ``blk``
+    consecutive rows (rows inside a block stay adjacent and in order).
+
+    TPU gathers pay a fixed per-row cost, so permuting 8-row blocks
+    makes an epoch's minibatch shuffle ~8x cheaper than a row-level
+    permutation at the tracked shapes. ``blk`` must divide ``N``;
+    ``blk=1`` is exactly ``jnp.take(packed, random.permutation(key, N),
+    axis=0)`` (the reference's row-level uniform shuffle).
+    """
+    n, d = packed.shape
+    assert n % blk == 0, (n, blk)
+    perm = jax.random.permutation(key, n // blk)
+    return jnp.take(packed.reshape(n // blk, blk * d), perm, axis=0).reshape(
+        n, d
+    )

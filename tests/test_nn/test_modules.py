@@ -42,6 +42,42 @@ def test_mlp_layer_norm() -> None:
     assert out.shape == (2, 4)
 
 
+def test_one_hot_embed_matches_flax_embed() -> None:
+    """OneHotEmbed is a drop-in for nn.Embed: identical parameter tree
+    (an `embedding` table with the same initializer distribution) and
+    identical lookups — models can swap one for the other without
+    breaking checkpoints or fused-spec param paths."""
+    import flax.linen as nn
+
+    from rl8_tpu.nn import OneHotEmbed
+    from rl8_tpu.nn.modules.embeddings import one_hot_embed
+
+    ref = nn.Embed(2, 4)
+    ours = OneHotEmbed(2, 4)
+    params = ref.init(jax.random.key(3), jnp.zeros((1,), jnp.int32))
+    ours_params = ours.init(jax.random.key(3), jnp.zeros((1,), jnp.int32))
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        ours_params
+    )
+    assert params["params"]["embedding"].shape == (2, 4)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["embedding"]),
+        np.asarray(ours_params["params"]["embedding"]),
+    )
+    idx = jnp.array([0, 1, 1, 0], jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(ref.apply(params, idx)),
+        np.asarray(ours.apply(params, idx)),
+        rtol=1e-6,
+    )
+    # The functional form used by fused-spec assembles matches too.
+    np.testing.assert_allclose(
+        np.asarray(one_hot_embed(params["params"]["embedding"], idx)),
+        np.asarray(ref.apply(params, idx)),
+        rtol=1e-6,
+    )
+
+
 def test_positional_embedding() -> None:
     pe = PositionalEmbedding(16, 32)
     params = pe.init(jax.random.key(0), jnp.zeros((2, 8, 16)))

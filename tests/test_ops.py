@@ -1338,3 +1338,58 @@ def test_fused_act_widens_narrow_float_obs() -> None:
         )
     np.testing.assert_array_equal(np.asarray(ra16), np.asarray(ra32))
     np.testing.assert_array_equal(np.asarray(rv16), np.asarray(rv32))
+
+
+def test_block_shuffle_blk1_is_exact_row_permutation() -> None:
+    """blk=1 reproduces the reference's row-level uniform shuffle
+    bit-for-bit (same key -> same permutation as jnp.take)."""
+    from rl8_tpu.ops import block_shuffle
+
+    key = jax.random.key(7)
+    packed = jnp.arange(24 * 3, dtype=jnp.int32).reshape(24, 3)
+    expected = jnp.take(packed, jax.random.permutation(key, 24), axis=0)
+    np.testing.assert_array_equal(
+        np.asarray(block_shuffle(packed, key, 1)), np.asarray(expected)
+    )
+
+
+def test_block_shuffle_preserves_blocks_and_rows() -> None:
+    """Blocks of consecutive rows stay adjacent and in order; the row
+    multiset is preserved; the block order actually changes."""
+    from rl8_tpu.ops import block_shuffle
+
+    n, d, blk = 32, 3, 4
+    packed = jnp.arange(n * d, dtype=jnp.int32).reshape(n, d)
+    out = np.asarray(block_shuffle(packed, jax.random.key(0), blk))
+    assert sorted(map(tuple, out)) == sorted(map(tuple, np.asarray(packed)))
+    # Each output block is an intact input block (first row identifies
+    # it; the rest must follow in order).
+    src = np.asarray(packed)
+    starts = []
+    for i in range(0, n, blk):
+        start = out[i, 0] // d
+        assert start % blk == 0
+        np.testing.assert_array_equal(out[i : i + blk], src[start : start + blk])
+        starts.append(start)
+    assert starts != sorted(starts)  # actually shuffled
+
+
+def test_shuffle_block_rows_hparam() -> None:
+    """Validation and the minibatch-divisibility clamp."""
+    import pytest
+
+    from rl8_tpu.data import AlgorithmHparams
+
+    common = dict(
+        accumulate_grads=False, clip_param=0.2, dual_clip_param=None,
+        enable_amp=False, gae_lambda=0.95, gamma=0.99, horizon=8,
+        horizons_per_env_reset=1, max_grad_norm=5.0,
+        normalize_advantages=True, normalize_rewards=True, num_envs=4,
+        num_sgd_iters=2, sgd_minibatch_size=12, shuffle_minibatches=True,
+        target_kl_div=None, vf_clip_param=5.0, vf_coeff=1.0,
+    )
+    h = AlgorithmHparams(shuffle_block_rows=8, **common)
+    assert h.effective_shuffle_block == 4  # gcd(8, 12)
+    assert AlgorithmHparams(shuffle_block_rows=1, **common).effective_shuffle_block == 1
+    with pytest.raises(ValueError, match="shuffle_block_rows"):
+        AlgorithmHparams(shuffle_block_rows=0, **common)
