@@ -1043,9 +1043,14 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
 
         def _epoch(carry: dict[str, Any], epoch_key: jax.Array) -> tuple[dict[str, Any], None]:
             def _run(carry: dict[str, Any]) -> dict[str, Any]:
-                # With one minibatch per epoch the loss is permutation-
-                # invariant, so the shuffle gather is skipped.
-                if h.shuffle_minibatches and M > 1:
+                # The shuffle gather is skipped when the epoch's result
+                # is permutation-invariant: with one minibatch per epoch
+                # trivially, and under full-epoch gradient accumulation
+                # (accum == M: one optimizer apply per epoch, so the
+                # epoch gradient and its loss stats are sums over ALL
+                # rows regardless of how minibatches partition them —
+                # only fp summation order differs).
+                if h.shuffle_minibatches and M > 1 and accum == 1:
                     # Permute fixed blocks of consecutive rows instead of
                     # single rows: TPU gathers pay a fixed per-row cost,
                     # so fetching blk-row blocks cuts the shuffle's cost

@@ -59,6 +59,47 @@ def test_accumulation_equivalence(env_cls) -> None:
         ), key
 
 
+def test_full_epoch_accumulation_is_permutation_invariant() -> None:
+    """With ``accumulate_grads`` the optimizer applies once per epoch,
+    so the epoch gradient/stats are sums over ALL rows regardless of the
+    minibatch partition — which is why the epoch shuffle is skipped
+    (`_step_impl`). Permuting whole envs in the buffer (a valid row
+    permutation) must leave the step's losses and params unchanged."""
+    algo = AlgorithmConfig(
+        num_envs=NUM_ENVS,
+        horizon=HORIZON,
+        accumulate_grads=True,
+        sgd_minibatch_size=NUM_ENVS,
+        seed=7,
+        model_config={"hiddens": (16, 16)},
+    ).build(DiscreteDummyEnv)
+    algo.collect()
+    # step() donates its input state; keep a copy to replay from.
+    state = jax.tree_util.tree_map(jnp.copy, algo.state)
+    perm = jax.random.permutation(jax.random.key(0), algo.hparams.num_envs)
+    permuted_buffer = jax.tree_util.tree_map(
+        lambda x: x[:, perm], state.buffer
+    )
+    stats = algo.step()
+    params = algo.state.params
+
+    algo.state = state.replace(buffer=permuted_buffer)
+    stats_perm = algo.step()
+    params_perm = algo.state.params
+
+    for key in ("losses/policy", "losses/vf", "losses/total"):
+        assert math.isclose(
+            stats[key], stats_perm[key], rel_tol=1e-4, abs_tol=1e-6
+        ), key
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        params,
+        params_perm,
+    )
+
+
 @pytest.mark.parametrize("env_cls", [ContinuousDummyEnv, DiscreteDummyEnv])
 def test_algorithm_validate(env_cls) -> None:
     algo = AlgorithmConfig(
