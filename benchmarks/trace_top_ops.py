@@ -22,9 +22,13 @@ import tempfile
 from collections import defaultdict
 
 
-def parse_trace(log_dir: str, top: int = 25) -> list[tuple[str, float, int]]:
+def parse_trace(
+    log_dir: str, top: int = 25, details: bool = False
+) -> list[tuple[str, float, int]]:
     """Aggregate (name, total_ms, count) over device-lane complete events
-    in the newest trace under ``log_dir``, longest first."""
+    in the newest trace under ``log_dir``, longest first. With
+    ``details``, the name carries the event's HLO metadata (long_name /
+    source info from the event ``args``) so fusions are identifiable."""
     paths = sorted(
         glob.glob(
             os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True
@@ -46,11 +50,30 @@ def parse_trace(log_dir: str, top: int = 25) -> list[tuple[str, float, int]]:
                 device_pids.add(e.get("pid"))
     totals: dict[str, float] = defaultdict(float)
     counts: dict[str, int] = defaultdict(int)
+    meta: dict[str, str] = {}
     for e in events:
         if e.get("ph") == "X" and (not device_pids or e.get("pid") in device_pids):
             totals[e["name"]] += e.get("dur", 0) / 1e3
             counts[e["name"]] += 1
+            if details and e["name"] not in meta and e.get("args"):
+                a = e["args"]
+                meta[e["name"]] = " | ".join(
+                    f"{k}={a[k]}"
+                    for k in (
+                        "long_name",
+                        "hlo_op",
+                        "hlo_module",
+                        "source",
+                        "tf_op",
+                    )
+                    if a.get(k)
+                ) or json.dumps(a)[:400]
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+    if details:
+        return [
+            (f"{name}  [{meta.get(name, '')}]", ms, counts[name])
+            for name, ms in ranked
+        ]
     return [(name, ms, counts[name]) for name, ms in ranked]
 
 
@@ -64,6 +87,12 @@ def main() -> None:
     parser.add_argument("--horizon", type=int, default=32)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--top", type=int, default=25)
+    parser.add_argument(
+        "--details",
+        action="store_true",
+        help="print each op's HLO metadata (long_name/source) so "
+        "anonymous fusions are identifiable",
+    )
     parser.add_argument(
         "--amp", action="store_true",
         help="bf16 compute + gradient accumulation (the tracked "
@@ -110,7 +139,7 @@ def main() -> None:
         with jax.profiler.trace(log_dir):
             for _ in range(args.iters):
                 run_once()
-        for name, ms, n in parse_trace(log_dir, args.top):
+        for name, ms, n in parse_trace(log_dir, args.top, args.details):
             print(f"{ms:10.2f} ms  x{n:<6} {name}")
 
 
