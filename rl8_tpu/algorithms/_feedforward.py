@@ -925,7 +925,12 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
                 vf_clip_param=h.vf_clip_param,
                 vf_coeff=h.vf_coeff,
             )
-            logp_ratio = dist.logp(mb[DataKeys.ACTIONS]) - mb[DataKeys.LOGP]
+            # Rank-1 [N] chain: a materialized [N, 1] intermediate pads
+            # 1 -> 128 lanes on TPU (see ppo_losses).
+            logp_ratio = (
+                dist.logp(mb[DataKeys.ACTIONS]).reshape(-1)
+                - mb[DataKeys.LOGP].reshape(-1)
+            )
             kl = jnp.mean((jnp.exp(logp_ratio) - 1) - logp_ratio)
             kl = jax.lax.stop_gradient(kl)
             return losses["total"] / accum, (losses, kl)

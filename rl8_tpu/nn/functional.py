@@ -241,18 +241,30 @@ def ppo_losses(
     """
     from ..data import DataKeys
 
+    # Every per-row quantity here is logically one number per row, but
+    # arrives column-shaped ``[B, 1]`` (the buffer's storage contract).
+    # TPU vector tiles are [8 sublanes, 128 lanes] over the two minor
+    # dims, so a materialized [B, 1] f32 intermediate moves 128x its
+    # logical bytes through HBM. Flattening the whole loss chain to
+    # rank-1 ``[B]`` arrays is semantics-preserving (the reductions see
+    # the same elements) and measured ~2x faster for the full minibatch
+    # gradient on v5e (``benchmarks/microbench_update.py``:
+    # 0.99 -> 0.50 ms per 32k-row minibatch fwd+bwd).
+    logp = sample_distribution.logp(buffer_batch[DataKeys.ACTIONS])
     p_ratio = jnp.exp(
-        sample_distribution.logp(buffer_batch[DataKeys.ACTIONS])
-        - buffer_batch[DataKeys.LOGP]
+        logp.reshape(-1) - buffer_batch[DataKeys.LOGP].reshape(-1)
     )
     vf_loss = jnp.mean(
         jnp.clip(
-            _smooth_l1(values, buffer_batch[DataKeys.RETURNS]),
+            _smooth_l1(
+                values.reshape(-1),
+                buffer_batch[DataKeys.RETURNS].reshape(-1),
+            ),
             0.0,
             vf_clip_param,
         )
     )
-    advantages = buffer_batch[DataKeys.ADVANTAGES]
+    advantages = buffer_batch[DataKeys.ADVANTAGES].reshape(-1)
     surr1 = advantages * p_ratio
     surr2 = advantages * jnp.clip(p_ratio, 1 - clip_param, 1 + clip_param)
     if dual_clip_param:
