@@ -117,9 +117,20 @@ class Categorical(Distribution):
 
     def logp(self, samples: jax.Array) -> jax.Array:
         logp = jax.nn.log_softmax(self._logits, axis=-1)
-        chosen = jnp.take_along_axis(
-            logp, samples[..., None].astype(jnp.int32), axis=-1
-        )[..., 0]
+        # One-hot select instead of take_along_axis: TPUs execute the
+        # row gather serially (~11 ns/row; its scatter-add backward is
+        # worse) — together they dominated the whole custom-model PPO
+        # update. The where-select is a dense VPU op that fuses away,
+        # and its backward is a dense broadcast. ``where`` (not
+        # multiply) so -inf masked logits can't produce 0 * -inf NaNs.
+        n = logp.shape[-1]
+        onehot = (
+            samples[..., None].astype(jnp.int32)
+            == jnp.arange(n, dtype=jnp.int32)
+        )
+        chosen = jnp.sum(
+            jnp.where(onehot, logp, jnp.zeros((), logp.dtype)), axis=-1
+        )
         return jnp.sum(chosen, axis=-1, keepdims=True)
 
     def sample(self, key: jax.Array) -> jax.Array:

@@ -35,6 +35,27 @@ def test_categorical_deterministic_is_argmax() -> None:
     assert int(dist.deterministic_sample()[0, 0]) == 1
 
 
+def test_categorical_logp_matches_gather_and_survives_inf_masks() -> None:
+    """The one-hot logp select (a dense VPU op; TPU row gathers execute
+    serially) must agree with an explicit take_along_axis gather, sum
+    over multiple action components, and stay finite when OTHER
+    components' logits are -inf-masked (0 * -inf would NaN under a
+    multiply-based select)."""
+    key = jax.random.key(3)
+    logits = jax.random.normal(key, (16, 2, 5))
+    # Mask a few (row, component, category) entries with true -inf.
+    logits = logits.at[::3, 0, 4].set(-jnp.inf)
+    dist = Categorical({"logits": logits})
+    samples = jax.random.randint(jax.random.key(4), (16, 2), 0, 4)
+    got = dist.logp(samples)
+    ref_all = jax.nn.log_softmax(logits, axis=-1)
+    ref = jnp.take_along_axis(ref_all, samples[..., None], axis=-1)[..., 0]
+    ref = jnp.sum(ref, axis=-1, keepdims=True)
+    assert got.shape == (16, 1)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
 def test_normal_logp_entropy() -> None:
     mean = jnp.zeros((4, 2))
     log_std = jnp.zeros((4, 2))
