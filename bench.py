@@ -43,9 +43,20 @@ latency at several batch sizes, a recurrent-serving line, and
 from __future__ import annotations
 
 import json
+import os
 import time
 
+import jax
+
 from benchmarks import roofline
+
+# Persistent compilation cache: the bench compiles ~10 large programs
+# (fused train_steps scans, serving buckets); caching them across runs
+# cuts a repeat bench from ~20 min of compiles to seconds of cache hits
+# without touching any measured (post-warmup) timing.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_TRANSITIONS_PER_S = 1_000_000.0
 CARTPOLE_BASELINE_SECONDS = 10.0

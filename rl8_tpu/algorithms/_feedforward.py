@@ -306,7 +306,13 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
 
         rng = jax.random.key(config.seed)
         rng, params_key, reset_key = jax.random.split(rng, 3)
-        params = self.policy.init_params(params_key)
+        # Parameter init needs concrete shapes for ``flatten_optimizer``
+        # below but no device execution: eval_shape traces it for free,
+        # and the real init runs inside the single jitted ``_init``
+        # program. Eager flax init would dispatch every layer op as its
+        # own XLA program — measured 71 s eager vs 3.7 s jitted for the
+        # AttentiveAlpaca example on a remote-compile TPU toolchain.
+        params_shapes = jax.eval_shape(self.policy.init_params, params_key)
 
         max_grad_norm = config.max_grad_norm
         optimizer_cls = config.optimizer_cls
@@ -320,15 +326,23 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             if flatten:
                 from ..utils.optim import flatten_optimizer
 
-                opt = flatten_optimizer(opt, params)
+                opt = flatten_optimizer(opt, params_shapes)
             return opt
 
         self.optimizer = optax.inject_hyperparams(_make_optimizer)(learning_rate=lr0)
-        opt_state = self.optimizer.init(params)
-        # Throwaway reset materializes the env-state pytree structure; the
-        # first `collect` re-resets per the reset cadence.
-        env_state, obs0 = self.env.reset(reset_key)
-        buffer = self._zero_buffer()
+
+        def _init(params_key: jax.Array, reset_key: jax.Array):
+            params = self.policy.init_params(params_key)
+            opt_state = self.optimizer.init(params)
+            # Throwaway reset materializes the env-state pytree
+            # structure; the first `collect` re-resets per the reset
+            # cadence.
+            env_state, _ = self.env.reset(reset_key)
+            return params, opt_state, env_state, self._zero_buffer()
+
+        params, opt_state, env_state, buffer = jax.jit(_init)(
+            params_key, reset_key
+        )
         self.state = AlgorithmState(
             params=params,
             opt_state=opt_state,
@@ -1254,35 +1268,54 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
     # ------------------------------------------------------------------
 
     def validate(self) -> None:
-        """Eagerly validate env/policy/buffer shape contracts
-        (``/root/reference/src/rl8/algorithms/_feedforward.py:617-698``)."""
-        B = self.hparams.num_envs
-        key = jax.random.key(0)
-        env_state, obs = self.env.reset(key)
-        self.env.observation_spec.assert_is_in(obs)
+        """Validate env/policy/buffer shape contracts with one real
+        reset→sample→step round trip
+        (``/root/reference/src/rl8/algorithms/_feedforward.py:617-698``).
 
-        # The reference samples with the whole (zeroed) buffer sliced to
-        # one timestep (``_feedforward.py:638-649``), so non-obs keys a
-        # model's views reference are present as zero entries.
-        batch: dict[str, Any] = {
-            DataKeys.OBS: jax.tree_util.tree_map(lambda o: o[:, None], obs)
-        }
-        for root in self._nonobs_view_roots:
-            batch[root] = (
-                self.env.action_spec.zero((B, 1))
-                if root == DataKeys.ACTIONS
-                else jnp.zeros((B, 1, 1))
+        The round trip runs as a SINGLE jitted program: eager execution
+        here would dispatch every tiny op in the model/env as its own
+        XLA compile, which is minutes of wall clock on remote-compile
+        TPU toolchains (measured 296 s for the AttentiveAlpaca example
+        vs ~4 s for its whole jitted collect program).
+        """
+        B = self.hparams.num_envs
+
+        def _probe(params: Any, key: jax.Array):
+            env_state, obs = self.env.reset(key)
+            # The reference samples with the whole (zeroed) buffer
+            # sliced to one timestep (``_feedforward.py:638-649``), so
+            # non-obs keys a model's views reference are present as
+            # zero entries.
+            batch: dict[str, Any] = {
+                DataKeys.OBS: jax.tree_util.tree_map(
+                    lambda o: o[:, None], obs
+                )
+            }
+            for root in self._nonobs_view_roots:
+                batch[root] = (
+                    self.env.action_spec.zero((B, 1))
+                    if root == DataKeys.ACTIONS
+                    else jnp.zeros((B, 1, 1))
+                )
+            sample = self.policy.sample(
+                params,
+                batch,
+                kind="last",
+                key=key,
+                deterministic=False,
+                return_actions=True,
+                return_logp=True,
+                return_values=True,
             )
-        sample = self.policy.sample(
-            self.state.params,
-            batch,
-            kind="last",
-            key=key,
-            deterministic=False,
-            return_actions=True,
-            return_logp=True,
-            return_values=True,
+            env_state, next_obs, rewards = self.env.step(
+                env_state, sample[DataKeys.ACTIONS]
+            )
+            return obs, sample, next_obs, rewards
+
+        obs, sample, next_obs, rewards = jax.jit(_probe)(
+            self.state.params, jax.random.key(0)
         )
+        self.env.observation_spec.assert_is_in(obs)
         actions = sample[DataKeys.ACTIONS]
         assert jnp.ndim(actions) >= 2, (
             "Actions must be at least 2D and have shape ``[N, ...]`` (where"
@@ -1295,8 +1328,7 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         assert sample[DataKeys.VALUES].shape == (B, 1), (
             "Value estimates must be 2D with shape ``[N, 1]``."
         )
-        env_state, obs, rewards = self.env.step(env_state, actions)
-        self.env.observation_spec.assert_is_in(obs)
+        self.env.observation_spec.assert_is_in(next_obs)
         assert rewards.shape == (B, 1), (
             "Rewards must be 2D with shape ``[N, 1]``."
         )
@@ -1309,16 +1341,35 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
         # The check runs on a small env slice — the folding contract is
         # batch-size-independent, and the full [B * T] forward would be
         # a transient allocation up to ``num_minibatches`` times larger
-        # than anything training materializes.
+        # than anything training materializes. Only SHAPES are asserted,
+        # so the whole phase runs under ``jax.eval_shape`` — a pure
+        # trace, no compile and no device work.
         T = self.hparams.horizon
         Bv = min(B, 2)
-        # Build the zero buffer at Bv envs directly — a full-size
-        # [T+1, num_envs, ...] transient (plus its transposed copy)
-        # could OOM validate() for image-sized observations even though
-        # training itself fits.
-        view_batch = self._training_view_batch(self._zero_buffer(Bv))
-        views = self.policy.model.apply_view_requirements(
-            view_batch, kind="all"
+
+        def _all_probe(params: Any, key: jax.Array):
+            # Build the zero buffer at Bv envs directly — a full-size
+            # [T+1, num_envs, ...] transient (plus its transposed copy)
+            # could OOM validate() for image-sized observations even
+            # though training itself fits.
+            view_batch = self._training_view_batch(self._zero_buffer(Bv))
+            views = self.policy.model.apply_view_requirements(
+                view_batch, kind="all"
+            )
+            sample_all = self.policy.sample(
+                params,
+                {DataKeys.VIEWS: views},
+                kind="all",
+                key=key,
+                deterministic=False,
+                return_actions=True,
+                return_logp=True,
+                return_values=True,
+            )
+            return views, sample_all
+
+        views, sample_all = jax.eval_shape(
+            _all_probe, self.state.params, jax.random.key(0)
         )
         leading = {
             leaf.shape[0] for leaf in jax.tree_util.tree_leaves(views)
@@ -1327,16 +1378,6 @@ class Algorithm(GenericAlgorithmBase[AlgorithmHparams, AlgorithmState, Policy]):
             "`apply_view_requirements(kind='all')` must produce a batch of"
             f" size ``[B * T, ...]`` = [{Bv * T}, ...] aligned with the"
             f" flattened rollout buffer; got leading sizes {leading}."
-        )
-        sample_all = self.policy.sample(
-            self.state.params,
-            {DataKeys.VIEWS: views},
-            kind="all",
-            key=key,
-            deterministic=False,
-            return_actions=True,
-            return_logp=True,
-            return_values=True,
         )
         assert sample_all[DataKeys.LOGP].shape == (Bv * T, 1), (
             "Training-path action log probabilities must have shape"

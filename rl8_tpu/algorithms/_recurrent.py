@@ -222,7 +222,11 @@ class RecurrentAlgorithm(
 
         rng = jax.random.key(config.seed)
         rng, params_key, reset_key = jax.random.split(rng, 3)
-        params = self.policy.init_params(params_key)
+        # Trace the param shapes for free; the real init runs inside
+        # the single jitted ``_init`` program below (eager flax init
+        # pays one remote XLA compile per layer op on TPU toolchains —
+        # see the feedforward ``__init__``).
+        params_shapes = jax.eval_shape(self.policy.init_params, params_key)
 
         max_grad_norm = config.max_grad_norm
         optimizer_cls = config.optimizer_cls
@@ -236,13 +240,20 @@ class RecurrentAlgorithm(
             if flatten:
                 from ..utils.optim import flatten_optimizer
 
-                opt = flatten_optimizer(opt, params)
+                opt = flatten_optimizer(opt, params_shapes)
             return opt
 
         self.optimizer = optax.inject_hyperparams(_make_optimizer)(learning_rate=lr0)
-        opt_state = self.optimizer.init(params)
-        env_state, _ = self.env.reset(reset_key)
-        buffer = self._zero_buffer()
+
+        def _init(params_key: jax.Array, reset_key: jax.Array):
+            params = self.policy.init_params(params_key)
+            opt_state = self.optimizer.init(params)
+            env_state, _ = self.env.reset(reset_key)
+            return params, opt_state, env_state, self._zero_buffer()
+
+        params, opt_state, env_state, buffer = jax.jit(_init)(
+            params_key, reset_key
+        )
         self.state = RecurrentAlgorithmState(
             params=params,
             opt_state=opt_state,
@@ -959,24 +970,42 @@ class RecurrentAlgorithm(
         return out
 
     def validate(self) -> None:
-        """Eagerly validate env/policy/buffer shape contracts
-        (``/root/reference/src/rl8/algorithms/_recurrent.py:654-756``)."""
+        """Validate env/policy/buffer shape contracts with one real
+        reset→sample→step round trip
+        (``/root/reference/src/rl8/algorithms/_recurrent.py:654-756``).
+
+        Runs as a SINGLE jitted program — eager execution would pay one
+        remote XLA compile per op on TPU toolchains (see the
+        feedforward ``validate`` docstring)."""
         B = self.hparams.num_envs
-        key = jax.random.key(0)
-        env_state, obs = self.env.reset(key)
-        self.env.observation_spec.assert_is_in(obs)
-        states = self.policy.init_states(B)
-        batch = {DataKeys.OBS: jax.tree_util.tree_map(lambda o: o[:, None], obs)}
-        sample, new_states = self.policy.sample(
-            self.state.params,
-            batch,
-            states,
-            key=key,
-            deterministic=False,
-            return_actions=True,
-            return_logp=True,
-            return_values=True,
+
+        def _probe(params: Any, key: jax.Array):
+            env_state, obs = self.env.reset(key)
+            states = self.policy.init_states(B)
+            batch = {
+                DataKeys.OBS: jax.tree_util.tree_map(
+                    lambda o: o[:, None], obs
+                )
+            }
+            sample, new_states = self.policy.sample(
+                params,
+                batch,
+                states,
+                key=key,
+                deterministic=False,
+                return_actions=True,
+                return_logp=True,
+                return_values=True,
+            )
+            env_state, next_obs, rewards = self.env.step(
+                env_state, sample[DataKeys.ACTIONS]
+            )
+            return obs, sample, new_states, next_obs, rewards
+
+        obs, sample, new_states, next_obs, rewards = jax.jit(_probe)(
+            self.state.params, jax.random.key(0)
         )
+        self.env.observation_spec.assert_is_in(obs)
         actions = sample[DataKeys.ACTIONS]
         assert jnp.ndim(actions) >= 2, (
             "Actions must be at least 2D and have shape ``[N, ...]``."
@@ -993,6 +1022,5 @@ class RecurrentAlgorithm(
             assert leaf.shape[0] == B, (
                 "Recurrent states must keep the batch dimension ``[N, ...]``."
             )
-        env_state, obs, rewards = self.env.step(env_state, actions)
-        self.env.observation_spec.assert_is_in(obs)
+        self.env.observation_spec.assert_is_in(next_obs)
         assert rewards.shape == (B, 1), "Rewards must be 2D with shape ``[N, 1]``."

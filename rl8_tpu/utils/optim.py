@@ -18,13 +18,40 @@ valid for optimizers whose behavior depends on parameter structure
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.flatten_util import ravel_pytree
 
 __all__ = ["flatten_optimizer"]
+
+
+def _make_unravel(params_template: Any):
+    """Build the flat-vector -> pytree inverse from the template's
+    SHAPES only (works with ``jax.ShapeDtypeStruct`` leaves, so callers
+    can derive the template via ``eval_shape`` without running the
+    parameter init eagerly). Mirrors ``ravel_pytree``'s layout: leaves
+    raveled in tree order, cast back to their own dtypes."""
+    leaves, treedef = jax.tree_util.tree_flatten(params_template)
+    shapes = [tuple(leaf.shape) for leaf in leaves]
+    dtypes = [leaf.dtype for leaf in leaves]
+    sizes = [math.prod(s) for s in shapes]
+    offsets = np.cumsum([0, *sizes])
+
+    def unravel(flat: jax.Array) -> Any:
+        parts = [
+            flat[offsets[i] : offsets[i + 1]]
+            .reshape(shapes[i])
+            .astype(dtypes[i])
+            for i in range(len(sizes))
+        ]
+        return jax.tree_util.tree_unflatten(treedef, parts)
+
+    return unravel
 
 
 def flatten_optimizer(
@@ -35,10 +62,12 @@ def flatten_optimizer(
     Args:
         inner: The transformation to wrap (e.g. ``chain(clip, adam)``).
         params_template: A params pytree fixing the flatten/unflatten
-            structure (shapes must match at ``update`` time).
+            structure (shapes must match at ``update`` time). May be a
+            tree of ``jax.ShapeDtypeStruct``\\ s — only shapes/dtypes
+            are read.
 
     """
-    _, unravel = ravel_pytree(params_template)
+    unravel = _make_unravel(params_template)
 
     def init(params: Any) -> optax.OptState:
         flat, _ = ravel_pytree(params)
