@@ -183,6 +183,13 @@ class PolicyModel:
         obs = _pad_rows(obs, _bucket(B))
         batch = {DataKeys.OBS: self.policy.observation_spec.encode(obs)}
         selected = self._sample_fn(self.params, batch)
+        # ONE batched device->host fetch for all outputs: device_get
+        # issues every leaf's transfer asynchronously and blocks once,
+        # so a predict pays a single host<->device round trip instead of
+        # one per output column (which triples latency on remote links).
+        import jax
+
+        selected = jax.device_get(selected)
         # Sample-dropping view requirements shrink the output batch;
         # kind="all" flattens batch-major, so the true batch's rows are
         # the first B * T' rows and the padding slices off the tail.
@@ -279,11 +286,15 @@ class RecurrentPolicyModel:
             )
         else:
             states = self.policy.init_states(B_pad)
-        selected, new_states = self._sample_fn(self.params, batch, states)
-        # Batch-major flattening: the true batch's rows come first.
-        selected = {k: v[: B * T] for k, v in selected.items()}
         import jax
 
+        # ONE batched device->host fetch for outputs AND states (see
+        # PolicyModel.predict): transfers overlap, one blocking round trip.
+        selected, new_states = jax.device_get(
+            self._sample_fn(self.params, batch, states)
+        )
+        # Batch-major flattening: the true batch's rows come first.
+        selected = {k: v[: B * T] for k, v in selected.items()}
         new_states = jax.tree_util.tree_map(lambda v: v[:B], new_states)
         return _to_dataframe(selected, B * T), _to_dataframe(new_states, B)
 
