@@ -76,18 +76,39 @@ def _throughput(algo, num_envs: int, horizon: int, iters: int = 20) -> float:
     return num_envs * horizon * iters / elapsed
 
 
+#: Every record emitted this run, re-printed as ONE compact JSON line at
+#: the very end so a tail-truncating capture always sees every metric.
+_RECORDS: list[dict] = []
+
+
 def _emit(
     metric: str, value: float, unit: str, vs_baseline: float, **extra
 ) -> None:
+    record = {
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+        **extra,
+    }
+    _RECORDS.append(record)
+    print(json.dumps(record), flush=True)
+
+
+def _emit_summary() -> None:
+    """Print a single compact JSON line holding EVERY tracked metric as
+    the LAST stdout line. The driver's tail capture clips from the
+    front, so the per-metric lines above can be lost — this line is the
+    always-complete record (headline fields only: value, vs_baseline,
+    mfu when present)."""
+    keep = ("value", "vs_baseline", "mfu", "error")
+    summary = {
+        r["metric"]: {k: r[k] for k in keep if k in r} for r in _RECORDS
+    }
     print(
         json.dumps(
-            {
-                "metric": metric,
-                "value": value,
-                "unit": unit,
-                "vs_baseline": vs_baseline,
-                **extra,
-            }
+            {"metric": "all_metrics", "summary": summary},
+            separators=(",", ":"),
         ),
         flush=True,
     )
@@ -234,19 +255,12 @@ def bench_cartpole_time_to_solve() -> None:
     # vs_baseline=0 — strictly-valid JSON either way (json.dumps of
     # float("inf") would emit the non-RFC `Infinity` token).
     value = time.perf_counter() - start
-    print(
-        json.dumps(
-            {
-                "metric": "cartpole_seconds_to_solve_post_compile",
-                "value": value,
-                "unit": "s",
-                "vs_baseline": (
-                    CARTPOLE_BASELINE_SECONDS / value if solved else 0.0
-                ),
-                "solved": solved,
-            }
-        ),
-        flush=True,
+    _emit(
+        "cartpole_seconds_to_solve_post_compile",
+        value,
+        "s",
+        CARTPOLE_BASELINE_SECONDS / value if solved else 0.0,
+        solved=solved,
     )
 
 
@@ -290,18 +304,13 @@ def bench_algotrading() -> None:
         params_bytes=roofline.params_bytes_twin_torso(7, (128, 128), [3]),
         minibatches_per_epoch=4,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "algotrading_env_transitions_per_s_with_update",
-                "value": tps,
-                "unit": "transitions/s",
-                "vs_baseline": tps / REFERENCE_TRANSITIONS_PER_S,
-                "fused": r["fused"],
-                **fields,
-            }
-        ),
-        flush=True,
+    _emit(
+        "algotrading_env_transitions_per_s_with_update",
+        tps,
+        "transitions/s",
+        tps / REFERENCE_TRANSITIONS_PER_S,
+        fused=r["fused"],
+        **fields,
     )
 
 
@@ -333,21 +342,13 @@ def bench_example_models() -> None:
             minibatches_per_epoch=4,
             **model_roofline[name],
         )
-        print(
-            json.dumps(
-                {
-                    "metric": (
-                        f"algotrading_{name}"
-                        "_env_transitions_per_s_with_update"
-                    ),
-                    "value": tps,
-                    "unit": "transitions/s",
-                    "vs_baseline": tps / REFERENCE_TRANSITIONS_PER_S,
-                    "fused": r["fused"],
-                    **fields,
-                }
-            ),
-            flush=True,
+        _emit(
+            f"algotrading_{name}_env_transitions_per_s_with_update",
+            tps,
+            "transitions/s",
+            tps / REFERENCE_TRANSITIONS_PER_S,
+            fused=r["fused"],
+            **fields,
         )
 
 
@@ -585,12 +586,13 @@ def main() -> None:
             bench()
         except Exception as e:  # keep the headline line even if one
             # tracked config fails on this platform
-            print(
-                json.dumps(
-                    {"metric": bench.__name__, "error": f"{type(e).__name__}: {e}"}
-                ),
-                flush=True,
-            )
+            record = {
+                "metric": bench.__name__,
+                "error": f"{type(e).__name__}: {e}",
+            }
+            _RECORDS.append(record)
+            print(json.dumps(record), flush=True)
+    _emit_summary()
 
 
 if __name__ == "__main__":
