@@ -46,6 +46,15 @@ class _LoadedModel:
         self._context = context
 
     def predict(self, data: Any, params: Any = None) -> Any:
+        # Mirror mlflow 2.x's dispatch: python models whose ``predict``
+        # signature accepts ``params`` get it passed positionally as
+        # ``(context, model_input, params)``; legacy two-arg models get
+        # ``(context, model_input)``.
+        import inspect
+
+        sig = inspect.signature(self._model.predict)
+        if "params" in sig.parameters:
+            return self._model.predict(self._context, data, params)
         return self._model.predict(self._context, data)
 
 
