@@ -11,12 +11,20 @@ itself:
    writes ground-truth curves to ``benchmarks/curves/reference/``.
 2. This module runs OUR implementation at the SAME hyperparameters and
    num_envs, writing curves to ``benchmarks/curves/``.
-3. ``check_parity`` asserts, per config, that our final performance
-   reaches the reference's seed band: ours_final >= ref_band_low where
-   ref_band_low = min over reference seeds of the final-quarter mean
-   return, widened by 2x the reference's cross-seed std (the "within
-   seed variance" criterion). Both implementations' rewards peak at 0
-   on every tracked env, so the band is scale-free.
+3. ``check_parity`` asserts, per config, TWO criteria:
+
+   - **Final value**: ours_final >= ref_band_low where ref_band_low =
+     min over reference seeds of the final-quarter mean return, widened
+     by 2x the reference's cross-seed std (the "within seed variance"
+     criterion). Both implementations' rewards peak at 0 on every
+     tracked env, so the band is scale-free.
+   - **Sample efficiency**: env-steps to reach the reference's own
+     half-max return (start + 0.5 * (final - start), both sides of the
+     curve smoothed over a 3-record window) must be within the
+     reference seeds' own spread: ours_steps <= max(ref_steps) +
+     max(2 * std(ref_steps), one trainer step of env-steps). Two curves
+     can share a final value with very different sample efficiency;
+     this pins the shape, not just the endpoint.
 
 The recorded curves use num_envs=256 (this host exposes ONE CPU core;
 a full 8192-env reference run takes hours per seed). All other
@@ -150,6 +158,35 @@ def _final_quarter_mean(records: list[dict]) -> float:
     return sum(r["returns_mean"] for r in tail) / len(tail)
 
 
+def _smoothed_returns(records: list[dict], window: int = 3) -> list[float]:
+    """Trailing-window running mean of ``returns_mean`` (noise guard for
+    the threshold crossing; per-step returns oscillate on envs that
+    reset mid-run, e.g. pendulum's 4-horizon episodes)."""
+    vals = [r["returns_mean"] for r in records]
+    out = []
+    for i in range(len(vals)):
+        lo = max(0, i - window + 1)
+        out.append(sum(vals[lo : i + 1]) / (i + 1 - lo))
+    return out
+
+
+def _steps_to_threshold(records: list[dict], threshold: float) -> None | int:
+    """First ``env_steps`` at which the smoothed return reaches
+    ``threshold`` (None if never)."""
+    for r, v in zip(records, _smoothed_returns(records)):
+        if v >= threshold:
+            return int(r["env_steps"])
+    return None
+
+
+def _std(xs: list[float]) -> float:
+    n = len(xs)
+    if n < 2:
+        return 0.0
+    m = sum(xs) / n
+    return math.sqrt(sum((x - m) ** 2 for x in xs) / (n - 1))
+
+
 def _curves(directory: str, name: str) -> list[tuple[dict, list[dict]]]:
     out = []
     for fn in sorted(os.listdir(directory)):
@@ -174,25 +211,51 @@ def check_parity(name: str) -> dict:
         )
     ref_finals = [_final_quarter_mean(r) for _, r in ref]
     our_finals = [_final_quarter_mean(r) for _, r in ours]
-    n = len(ref_finals)
-    ref_mean = sum(ref_finals) / n
-    ref_std = (
-        math.sqrt(sum((x - ref_mean) ** 2 for x in ref_finals) / (n - 1))
-        if n > 1
-        else abs(ref_mean) * 0.05
-    )
+    ref_std = _std(ref_finals) or abs(sum(ref_finals) / len(ref_finals)) * 0.05
     band_low = min(ref_finals) - 2 * ref_std
+
+    # Sample-efficiency criterion: env-steps to the reference's own
+    # half-max return, allowed up to the reference seeds' spread.
+    ref_starts = [r[0]["returns_mean"] for _, r in ref]
+    ref_start = sum(ref_starts) / len(ref_starts)
+    ref_final = sum(ref_finals) / len(ref_finals)
+    threshold = ref_start + 0.5 * (ref_final - ref_start)
+    ref_steps = [_steps_to_threshold(r, threshold) for _, r in ref]
+    assert all(s is not None for s in ref_steps), (
+        f"{name}: a reference curve never reaches its own half-max"
+        f" {threshold:.3f} — recorded curves are inconsistent"
+    )
+    step_granularity = ref[0][1][0]["env_steps"]  # env-steps per record
+    allowed = max(ref_steps) + max(
+        2 * _std([float(s) for s in ref_steps]), float(step_granularity)
+    )
+    our_steps = [_steps_to_threshold(r, threshold) for _, r in ours]
+
     summary = {
         "config": name,
         "reference_final_returns": ref_finals,
         "ours_final_returns": our_finals,
         "band_low": band_low,
+        "half_max_threshold": threshold,
+        "reference_steps_to_half_max": ref_steps,
+        "ours_steps_to_half_max": our_steps,
+        "allowed_steps_to_half_max": allowed,
     }
     for i, ours_final in enumerate(our_finals):
         assert ours_final >= band_low, (
             f"{name} seed {i}: final return {ours_final:.3f} below the"
             f" reference seed band (min {min(ref_finals):.3f} - 2*std"
             f" {ref_std:.3f} = {band_low:.3f})"
+        )
+    for i, s in enumerate(our_steps):
+        assert s is not None, (
+            f"{name} seed {i}: never reaches the reference's half-max"
+            f" return {threshold:.3f}"
+        )
+        assert s <= allowed, (
+            f"{name} seed {i}: {s} env-steps to reach the reference's"
+            f" half-max return {threshold:.3f} — reference seeds took"
+            f" {ref_steps} (allowed <= {allowed:.0f})"
         )
     return summary
 
