@@ -107,10 +107,17 @@ def create_mesh(
     ICI/DCN interleavings. SURVEY §2.3: "DCN only for multi-slice
     scale-out"; see ``docs/performance.md`` for the multi-slice story.
     """
-    if devices is None:
-        devices = jax.devices()
     import numpy as np
 
+    return Mesh(np.asarray(_order_devices(devices)), (axis_name,))
+
+
+def _order_devices(devices: Any = None) -> list:
+    """The mesh-axis device ordering :func:`create_mesh` uses (split out
+    so tests can drive the multi-slice layout with stand-in device
+    objects and map the ordering back onto real devices)."""
+    if devices is None:
+        devices = jax.devices()
     devices = list(devices)
     if len(devices) > 1:
         from jax.experimental import mesh_utils
@@ -128,7 +135,7 @@ def create_mesh(
                 arr = mesh_utils.create_device_mesh(
                     (len(devices),), devices=devices
                 )
-            return Mesh(arr.reshape(-1), (axis_name,))
+            return list(arr.reshape(-1))
         except (ValueError, AssertionError, NotImplementedError) as e:
             # Unusual topologies (e.g. a hand-picked device subset) fall
             # back to the given order. Within one slice that's benign
@@ -146,7 +153,7 @@ def create_mesh(
                     RuntimeWarning,
                     stacklevel=2,
                 )
-    return Mesh(np.asarray(devices), (axis_name,))
+    return devices
 
 
 def _global_put(leaf: Any, sharding: NamedSharding) -> jax.Array:
