@@ -49,6 +49,14 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Share the suite's persistent compilation cache (tests/conftest.py):
+    # every mode recompiles the same shapes, so warm runs skip the
+    # multi-second XLA builds that dominate these tests.
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(repo_root, ".jax_cache_cpu")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
     from rl8_tpu.parallel import create_mesh, initialize_multihost, is_main_process
 

@@ -32,3 +32,18 @@ if not _ON_TPU:
 
     assert jax.default_backend() == "cpu", "tests must run on CPU"
     assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"
+
+    # Persistent compilation cache: the suite is compile-dominated (the
+    # kernel-equivalence and multihost tests each build multi-second XLA
+    # programs with identical shapes run to run), so warm CI runs drop
+    # from ~25 min to well under the 10-min budget. Keyed per JAX
+    # version via the cache's own fingerprinting; safe to delete.
+    _CACHE = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_cpu",
+    )
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update(
+        "jax_persistent_cache_enable_xla_caches", "all"
+    )
