@@ -336,8 +336,13 @@ def bench_example_models() -> None:
             + roofline.F32 * 4 * 64 * (4 + 64 + 2),
         ),
     }
+    # amp=True: BASELINE.json's tracked algotrading config is
+    # "grad-accum/mixed-precision", so the per-model diagnostic lines
+    # run the same regime as the tracked MischievousMule line.
     for name in ("alpaca", "lemur"):
-        r = _measure_algotrading(name, num_envs=4096, horizon=32, iters=50)
+        r = _measure_algotrading(
+            name, amp=True, num_envs=4096, horizon=32, iters=50
+        )
         tps = r["transitions_per_s"]
         fields = _roofline_fields(
             tps,

@@ -109,6 +109,81 @@ def alpaca_flops(
     return price_embed + attn + twin_torso_flops(in_dim, hiddens, [3])
 
 
+#: v5e VPU elementwise peak, derived from the chip clock implied by the
+#: published MXU peak: 197e12 = 4 MXUs x 128x128 x 2 FLOP x clock =>
+#: clock ~1.5 GHz; VPU = (8,128) lanes x 4 ALUs x clock ~= 6.2e12
+#: f32 element-ops/s. A structural ceiling, not a sustained target —
+#: real kernels interleave relayouts and multi-operand reads.
+V5E_PEAK_VPU_OPS = 6.2e12
+
+
+def alpaca_floor(
+    num_envs: int = 4096,
+    horizon: int = 32,
+    minibatches_per_epoch: int = 4,
+    num_sgd_iters: int = 4,
+    seq_len: int = 4,
+    embed: int = 8,
+    num_heads: int = 4,
+    num_layers: int = 2,
+    hidden: int = 64,
+    hiddens: Sequence[int] = (64, 64),
+) -> dict[str, float]:
+    """Structural per-iteration bounds for AttentiveAlpaca's update.
+
+    The model's matmuls have tiny contraction/output dims (K, N <= 64):
+    a single K x N pass occupies K*N/128^2 of the MXU systolic array, so
+    shape — not the framework — caps the attainable matmul rate. Two
+    dot bounds bracket reality: ``naive_dot_ms`` (all dot FLOPs at the
+    full 197T peak — unattainable for these shapes) and
+    ``single_pass_dot_ms`` (each dot at its K*N/128^2 utilization — a
+    pessimistic bound XLA partially beats by batching the shared-weight
+    token dots into convolutions). The measured dot time sits between
+    them (7.4 ms/iter, trace category table in docs/performance.md
+    section "AttentiveAlpaca floor"). ``vpu_ms_floor`` is the raw VPU
+    element count for the score/softmax/context chains at the
+    :data:`V5E_PEAK_VPU_OPS` ceiling. All values are per-iteration
+    milliseconds at the tracked shape.
+    """
+    S = seq_len + 1
+    rows_per_grad = num_envs * horizon // minibatches_per_epoch
+    grads = minibatches_per_epoch * num_sgd_iters
+    in_dim = 2 + 1 + embed
+    # Per-row fwd dots as (K, N, copies): a K x N single-pass matmul
+    # occupies K*N of the 128x128 array, so its attainable rate is
+    # peak * K*N/128^2 — shape-capped utilization, independent of M.
+    dots = [
+        (embed, 3 * embed, num_layers * S),   # qkv projection
+        (embed, embed, num_layers * S),       # attention out projection
+        (embed, hidden, num_layers * S),      # FFN up
+        (hidden, embed, num_layers * S),      # FFN down
+        (in_dim, hiddens[0], 2),              # twin torso layer 1
+        (hiddens[0], hiddens[1], 2),          # twin torso layer 2
+    ]
+    # fwd+bwd ~= 3x fwd; collect adds one fwd per transition.
+    total_rows = rows_per_grad * grads
+    naive_dot_ms = 0.0
+    single_pass_dot_ms = 0.0
+    for k, n, copies in dots:
+        flops = 2 * k * n * copies
+        total = 3 * flops * total_rows + flops * num_envs * horizon
+        util = min(1.0, (k / 128)) * min(1.0, (n / 128))
+        naive_dot_ms += total / V5E_PEAK_MXU_FLOPS * 1e3
+        single_pass_dot_ms += total / (V5E_PEAK_MXU_FLOPS * util) * 1e3
+    # VPU: scores qk^T + attn@v (2d mult-adds per score each), softmax
+    # (~8 ops incl. the exp), masking/residual (~6), per head per (S,S)
+    # cell per layer; backward ~2x.
+    per_row_vpu = (
+        num_layers * num_heads * S * S * (2 * 2 * embed + 8 + 6)
+    )
+    vpu_ms = 3 * per_row_vpu * total_rows / V5E_PEAK_VPU_OPS * 1e3
+    return {
+        "naive_dot_ms": naive_dot_ms,
+        "single_pass_dot_ms": single_pass_dot_ms,
+        "vpu_ms_floor": vpu_ms,
+    }
+
+
 def lemur_flops(
     invested_embed_dim: int = 2,
     hidden_size: int = 64,
