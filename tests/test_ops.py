@@ -239,17 +239,23 @@ def test_supports_fused_apply_gating() -> None:
 
 
 @pytest.mark.parametrize(
-    "kind,use_entropy,dual",
+    "kind,use_entropy,dual,N",
     [
-        ("discrete", False, None),
-        ("discrete", True, 3.0),
-        ("continuous", False, None),
-        ("continuous", True, 3.0),
-        ("squashed", False, 2.0),
+        # N=53: non-multiple-of-8 exercises row masking (the [tile, 1]
+        # loss-chain layout). N=256: a full 128-divisible tile exercises
+        # the dense-lane loss-chain repack (_dense_rows).
+        ("discrete", False, None, 53),
+        ("discrete", True, 3.0, 53),
+        ("continuous", False, None, 53),
+        ("continuous", True, 3.0, 53),
+        ("squashed", False, 2.0, 53),
+        ("discrete", True, 3.0, 256),
+        ("continuous", True, 3.0, 256),
+        ("squashed", False, 2.0, 256),
     ],
 )
 @pytest.mark.slow
-def test_fused_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
+def test_fused_ppo_grads_match_autodiff(kind, use_entropy, dual, N) -> None:
     """The fused PPO kernel reproduces ppo_losses + jax.grad through the
     flax model: losses, approximate KL, and every parameter gradient."""
     from rl8_tpu.data import DataKeys
@@ -260,7 +266,6 @@ def test_fused_ppo_grads_match_autodiff(kind, use_entropy, dual) -> None:
     from rl8_tpu.ops.fused_ppo import PPOLossConfig, fused_ppo_grads
     from rl8_tpu.specs import Discrete, Unbounded
 
-    N = 53  # non-multiple-of-8 exercises row masking
     if kind == "discrete":
         model = DefaultDiscreteModel(
             Unbounded(3), Discrete(4, shape=(2,)), hiddens=(32, 16)
