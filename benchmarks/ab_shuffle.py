@@ -75,11 +75,14 @@ def _build(name: str, seed: int, blk: int):
     if name == "recurrent":
         from rl8_tpu.env import DiscreteDummyEnv
 
-        horizon = 32
+        horizon, seq_len = 32, 4
+        # Recurrent minibatches count SEQUENCES: quarter-buffer = a
+        # quarter of the num_envs * (horizon // seq_len) sequence rows
+        # (an all-rows minibatch would skip the shuffle entirely).
         return RecurrentAlgorithmConfig(
             num_envs=num_envs,
             seed=seed,
-            sgd_minibatch_size=num_envs * horizon // 4,
+            sgd_minibatch_size=num_envs * (horizon // seq_len) // 4,
             shuffle_block_rows=blk,
         ).build(DiscreteDummyEnv)
     raise ValueError(name)

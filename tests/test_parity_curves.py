@@ -21,3 +21,16 @@ from benchmarks.parity import CONFIGS, check_parity
 def test_committed_curves_reach_reference_band(name: str) -> None:
     summary = check_parity(name)
     assert summary["ours_final_returns"], summary
+
+
+@pytest.mark.parametrize("name", ["cartpole", "algotrading", "recurrent"])
+def test_committed_shuffle_ab_curves_indistinguishable(name: str) -> None:
+    """The shuffle_block_rows=8 default deviation is backed by DATA:
+    blk=8 learning curves sit inside blk=1's (exact reference-semantics)
+    seed band on both parity criteria, on the committed A/B curves
+    (``benchmarks/ab_shuffle.py``; minibatched configs where the epoch
+    shuffle actually executes)."""
+    from benchmarks.ab_shuffle import check_ab
+
+    summary = check_ab(name)
+    assert summary["blk8_final_returns"], summary
