@@ -141,25 +141,6 @@ def _vf_grad_terms(
     return vf_elem, dv
 
 
-def _dense_rows(x: jax.Array) -> jax.Array:
-    """Repack a ``[tile, 1]`` per-row column as ``[tile // 128, 128]``.
-
-    A ``[tile, 1]`` f32 tensor occupies full (8, 128) vector tiles with
-    one valid lane — every elementwise op on it runs at 1/128 lane
-    utilization. The PPO loss chain is ~40 such ops per tile; repacking
-    once (row-major reshape — elementwise math is position-independent)
-    runs the whole chain on dense lanes, then :func:`_sparse_rows`
-    restores the column layout for the broadcasts against ``[tile, n]``
-    tensors. Only valid when ``tile % 128 == 0`` (callers gate).
-    """
-    return x.reshape(x.shape[0] // 128, 128)
-
-
-def _sparse_rows(x: jax.Array) -> jax.Array:
-    """Inverse of :func:`_dense_rows`."""
-    return x.reshape(x.shape[0] * 128, 1)
-
-
 def _discrete_kernel(
     sizes, activation, n_params, cfg: PPOLossConfig, cols, action_n,
     packed_ref, ec_ref, *refs,
@@ -216,22 +197,10 @@ def _discrete_kernel(
             h_a = None
         group_data.append((p, logp_all, oh, h_a))
 
-    # Mask-free full tiles run the ~40-op scalar loss chain on dense
-    # lanes (see _dense_rows) — bit-identical math, 128x lane use.
-    dense = valid is None and tile % 128 == 0
-    if dense:
-        new_logp = _dense_rows(new_logp)
-        old_logp = _dense_rows(old_logp)
-        adv = _dense_rows(adv)
-        ret = _dense_rows(ret)
-        values = _dense_rows(values)
     pol_elem, u_pol, kl_elem, _ = _policy_grad_terms(
         new_logp, old_logp, adv, cfg, scale
     )
     vf_elem, dv = _vf_grad_terms(values, ret, cfg, scale)
-    if dense:
-        u_pol = _sparse_rows(u_pol)
-        dv = _sparse_rows(dv)
     if valid is not None:
         pol_elem = jnp.where(valid, pol_elem, 0.0)
         u_pol = jnp.where(valid, u_pol, 0.0)
@@ -333,22 +302,10 @@ def _continuous_kernel(
 
     scale = 1.0 / (cfg.n_rows * cfg.accum)
     ec = ec_ref[0, 0]
-    # Dense-lane scalar loss chain on mask-free full tiles (see the
-    # discrete kernel / _dense_rows).
-    dense = valid is None and tile % 128 == 0
-    if dense:
-        new_logp = _dense_rows(new_logp)
-        old_logp = _dense_rows(old_logp)
-        adv = _dense_rows(adv)
-        ret = _dense_rows(ret)
-        values = _dense_rows(values)
     pol_elem, u_pol, kl_elem, _ = _policy_grad_terms(
         new_logp, old_logp, adv, cfg, scale
     )
     vf_elem, dv = _vf_grad_terms(values, ret, cfg, scale)
-    if dense:
-        u_pol = _sparse_rows(u_pol)
-        dv = _sparse_rows(dv)
 
     # d new_logp/d mean = diff * inv_var; d/d log_std = diff^2*inv_var - 1.
     dmean = u_pol * (diff * inv_var)
