@@ -80,7 +80,21 @@ def main() -> None:
     from rl8_tpu.trainers.tracking import JsonlRun
 
     mesh = create_mesh()
-    if mode == "recurrent":
+
+    def _ff_trainer(track: str) -> Trainer:
+        algorithm = AlgorithmConfig(
+            num_envs=64,
+            horizon=8,
+            seed=7,
+            sgd_minibatch_size=64,
+            num_sgd_iters=2,
+            mesh=mesh,
+        ).build(DiscreteDummyEnv)
+        # Every process passes a real tracking run pointed at the SAME
+        # directory; host-0 gating must leave exactly one writer.
+        return Trainer(algorithm, run=JsonlRun(os.path.join(tmpdir, track)))
+
+    def _rec_trainer(track: str) -> Trainer:
         algorithm = RecurrentAlgorithmConfig(
             num_envs=64,
             horizon=8,
@@ -92,27 +106,15 @@ def main() -> None:
             model_config={"hidden_size": 8},
             mesh=mesh,
         ).build(DiscreteDummyEnv)
-    else:
-        algorithm = AlgorithmConfig(
-            num_envs=64,
-            horizon=8,
-            seed=7,
-            sgd_minibatch_size=64,
-            num_sgd_iters=2,
-            mesh=mesh,
-        ).build(DiscreteDummyEnv)
-    # Every process passes a real tracking run pointed at the SAME
-    # directory; host-0 gating must leave exactly one writer.
-    trainer = Trainer(algorithm, run=JsonlRun(os.path.join(tmpdir, "track")))
-    ckpt_dir = os.path.join(tmpdir, "ckpt")
+        return Trainer(algorithm, run=JsonlRun(os.path.join(tmpdir, track)))
 
-    if mode in ("train", "recurrent"):
+    def _train_phase(trainer: Trainer, ckpt: str, prefix: str, recurrent: bool) -> None:
+        """3 trainer steps with a sync collective checkpoint round trip
+        after step 2; identical-global-stats result file per process."""
         trainer.step()
         trainer.step()
-
-        trainer.save_checkpoint(ckpt_dir)
-        trainer.restore_checkpoint(ckpt_dir)
-
+        trainer.save_checkpoint(ckpt)
+        trainer.restore_checkpoint(ckpt)
         stats = trainer.step()
         result = {
             "losses/total": float(stats["losses/total"]),
@@ -120,13 +122,58 @@ def main() -> None:
             "env/steps": int(stats["env/steps"]),
             "algorithm/steps": int(stats["algorithm/steps"]),
         }
-        if mode == "recurrent":
+        if recurrent:
             result["seqs"] = int(trainer.algorithm.state.seqs)
-        prefix = "result" if mode == "train" else "recurrent_result"
+        with open(os.path.join(tmpdir, f"{prefix}_{proc_id}.json"), "w") as f:
+            json.dump(result, f)
+
+    def _async_phase(trainer: Trainer, ckpt: str) -> None:
+        """Background (async) collective checkpointing: both processes
+        save without blocking, train through the write, and the
+        generations publish in order."""
+        from rl8_tpu.checkpoint import wait_for_checkpoint
+
+        trainer.step()
+        trainer.save_checkpoint(ckpt, block=False)
+        trainer.step()  # overlaps generation 1's background write
+        trainer.save_checkpoint(ckpt, block=False)  # waits gen 1
+        wait_for_checkpoint()
+        trainer.restore_checkpoint(ckpt)
+        result = {
+            "algorithm/steps": int(trainer.state["algorithm/steps"]),
+            "env/steps": int(trainer.state["env/steps"]),
+        }
         with open(
-            os.path.join(tmpdir, f"{prefix}_{proc_id}.json"), "w"
+            os.path.join(tmpdir, f"asyncckpt_result_{proc_id}.json"), "w"
         ) as f:
             json.dump(result, f)
+
+    trainer = (_rec_trainer if mode == "recurrent" else _ff_trainer)("track")
+    ckpt_dir = os.path.join(tmpdir, "ckpt")
+
+    if mode in ("train", "recurrent"):
+        _train_phase(
+            trainer,
+            ckpt_dir,
+            "result" if mode == "train" else "recurrent_result",
+            recurrent=(mode == "recurrent"),
+        )
+    elif mode == "combo":
+        # The three benign scenarios in ONE 2-process session (the
+        # process spawn + distributed init + compile costs dominate the
+        # individual tests; in-process jit caching makes the repeats
+        # nearly free): feedforward train/checkpoint round trip, async
+        # checkpointing on a fresh trainer, recurrent train round trip.
+        _train_phase(trainer, ckpt_dir, "result", recurrent=False)
+        _async_phase(
+            _ff_trainer("track_async"), os.path.join(tmpdir, "ckpt_async")
+        )
+        _train_phase(
+            _rec_trainer("track_rec"),
+            os.path.join(tmpdir, "ckpt_rec"),
+            "recurrent_result",
+            recurrent=True,
+        )
     elif mode == "fault":
         import threading
 
@@ -157,25 +204,7 @@ def main() -> None:
             json.dump({"status": status}, f)
         os._exit(0 if proc_id == 0 else 18)  # 18: process 1 outlived its kill
     elif mode == "asyncckpt":
-        # Async (background) collective checkpointing: both processes
-        # save without blocking, train through the write, and the
-        # generations publish in order.
-        from rl8_tpu.checkpoint import wait_for_checkpoint
-
-        trainer.step()
-        trainer.save_checkpoint(ckpt_dir, block=False)
-        trainer.step()  # overlaps generation 1's background write
-        trainer.save_checkpoint(ckpt_dir, block=False)  # waits gen 1
-        wait_for_checkpoint()
-        trainer.restore_checkpoint(ckpt_dir)
-        result = {
-            "algorithm/steps": int(trainer.state["algorithm/steps"]),
-            "env/steps": int(trainer.state["env/steps"]),
-        }
-        with open(
-            os.path.join(tmpdir, f"asyncckpt_result_{proc_id}.json"), "w"
-        ) as f:
-            json.dump(result, f)
+        _async_phase(trainer, ckpt_dir)
     elif mode == "preempt":
         import signal
 

@@ -27,14 +27,16 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training(tmp_path):
+def _run_pair(tmp_path, mode: None | str = None) -> None:
+    """Spawn the 2-process worker pair and assert both exit cleanly."""
     port = _free_port()
-    env = dict(os.environ)
+    cmd_tail = [str(port), str(tmp_path), _REPO_ROOT] + (
+        [mode] if mode else []
+    )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(_WORKER), str(i), str(port), str(tmp_path), _REPO_ROOT],
-            env=env,
+            [sys.executable, str(_WORKER), str(i), *cmd_tail],
+            env=dict(os.environ),
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -53,6 +55,18 @@ def test_two_process_training(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
 
+
+@pytest.mark.slow
+def test_two_process_training_async_and_recurrent_combo(tmp_path):
+    """The three benign 2-process scenarios in ONE worker session (the
+    spawn + jax.distributed init + compile overheads dominate them
+    individually): feedforward training with a sync collective
+    checkpoint round trip and single-writer tracking, async collective
+    checkpointing, and recurrent training with globally-placed state
+    extras."""
+    _run_pair(tmp_path, "combo")
+
+    # --- Feedforward train phase ---
     # Identical global stats on both hosts: every process computes the
     # same globally-reduced values from the same sharded state.
     with open(tmp_path / "result_0.json") as f:
@@ -84,6 +98,31 @@ def test_two_process_training(tmp_path):
     with open(gen / "host_state.json") as f:
         host = json.load(f)
     assert host["trainer_state"]["algorithm/steps"] == 2
+
+    # --- Async checkpoint phase --- both processes save without
+    # blocking, train through the write, the second save sequences
+    # after the first, and restore lands on generation 2's counters.
+    with open(tmp_path / "asyncckpt_result_0.json") as f:
+        a0 = json.load(f)
+    with open(tmp_path / "asyncckpt_result_1.json") as f:
+        a1 = json.load(f)
+    assert a0 == a1
+    assert a0["algorithm/steps"] == 2  # generation 2's counters
+    with open(tmp_path / "ckpt_async" / "latest.json") as f:
+        assert json.load(f)["checkpoint"] == "ckpt-00000002"
+
+    # --- Recurrent phase --- the recurrent state extras (`seqs`
+    # counter, per-env LSTM states) must be globally placed (regression:
+    # shard_state once hand-listed fields and silently left `seqs`
+    # process-local), and stats agree on both hosts.
+    with open(tmp_path / "recurrent_result_0.json") as f:
+        rr0 = json.load(f)
+    with open(tmp_path / "recurrent_result_1.json") as f:
+        rr1 = json.load(f)
+    assert rr0 == rr1
+    assert rr0["algorithm/steps"] == 3
+    # 3 steps x horizon 8 / seq_len 2 sequences transitioned.
+    assert rr0["seqs"] == 12
 
 
 @pytest.mark.slow
@@ -135,48 +174,6 @@ def test_multihost_preemption_checkpoints_both_processes(tmp_path):
     with open(gen / "host_state.json") as f:
         host = json.load(f)
     assert host["trainer_state"]["algorithm/steps"] == 3
-
-
-@pytest.mark.slow
-def test_multihost_async_checkpointing(tmp_path):
-    """Background (async) collective checkpointing across 2 processes:
-    both save without blocking, train through the write, the second save
-    sequences after the first, and restore lands on generation 2's
-    counters on both hosts."""
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, str(_WORKER), str(i), str(port),
-                str(tmp_path), _REPO_ROOT, "asyncckpt",
-            ],
-            env=dict(os.environ),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    outputs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outputs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out}"
-
-    with open(tmp_path / "asyncckpt_result_0.json") as f:
-        r0 = json.load(f)
-    with open(tmp_path / "asyncckpt_result_1.json") as f:
-        r1 = json.load(f)
-    assert r0 == r1
-    assert r0["algorithm/steps"] == 2  # generation 2's counters
-    with open(tmp_path / "ckpt" / "latest.json") as f:
-        assert json.load(f)["checkpoint"] == "ckpt-00000002"
 
 
 @pytest.mark.slow
@@ -304,44 +301,3 @@ def test_multihost_stale_latest_view_follows_process_zero(tmp_path):
         assert json.load(f)["checkpoint"] == "ckpt-00000002"
 
 
-@pytest.mark.slow
-def test_two_process_recurrent_training(tmp_path):
-    """RECURRENT PPO across 2 jax.distributed processes: the recurrent
-    state extras (`seqs` counter, per-env LSTM states in the buffer)
-    must be globally placed (regression: shard_state once hand-listed
-    fields and silently left `seqs` process-local), stats agree on both
-    hosts, and the collective checkpoint round-trips."""
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, str(_WORKER), str(i), str(port),
-                str(tmp_path), _REPO_ROOT, "recurrent",
-            ],
-            env=dict(os.environ),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    outputs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outputs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out}"
-
-    with open(tmp_path / "recurrent_result_0.json") as f:
-        r0 = json.load(f)
-    with open(tmp_path / "recurrent_result_1.json") as f:
-        r1 = json.load(f)
-    assert r0 == r1
-    assert r0["algorithm/steps"] == 3
-    # 3 steps x horizon 8 / seq_len 2 sequences transitioned.
-    assert r0["seqs"] == 12
