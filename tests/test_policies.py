@@ -310,3 +310,29 @@ def test_recurrent_serving_buckets_and_round_trips_states() -> None:
     assert len(outputs2) == b * T
     assert len(states_df2) == b
     assert model._sample_fn._cache_size() == 1  # same bucket throughout
+
+
+def test_serving_predict_fetches_device_outputs_once(monkeypatch) -> None:
+    """predict performs exactly ONE batched device->host fetch
+    (jax.device_get of the whole output tree). Per-column fetches pay
+    one link round trip per output — the regression that made jitted
+    serving slower than eager at B=1 on remote links (docs/performance.md
+    section "Serving latency")."""
+    import rl8_tpu.policies.serving as serving
+
+    policy, params = _policy()
+    model = PolicyModel(policy, params)
+    obs = np.asarray(
+        jax.random.normal(jax.random.key(3), (2, 1, OBS_DIM)), dtype=np.float32
+    )
+    calls = []
+    real = jax.device_get
+
+    def counting(x):
+        calls.append(type(x).__name__)
+        return real(x)
+
+    monkeypatch.setattr(jax, "device_get", counting)
+    df = model.predict({DataKeys.OBS: obs})
+    assert len(df) == 2
+    assert len(calls) == 1, calls
