@@ -336,3 +336,62 @@ def test_serving_predict_fetches_device_outputs_once(monkeypatch) -> None:
     df = model.predict({DataKeys.OBS: obs})
     assert len(df) == 2
     assert len(calls) == 1, calls
+
+
+def test_serving_drop_size_view_model() -> None:
+    """predict with a sample-dropping (rolling_window) view model
+    returns ``B * (T - drop_size)`` rows — the reference's DataFrame row
+    contract when a model's views drop early timesteps
+    (``/root/reference/src/rl8/policies/_feedforward.py:296-310``)."""
+    import flax.linen as nn
+
+    from rl8_tpu.models import DefaultDiscreteModel
+    from rl8_tpu.views import ViewRequirement
+
+    class WindowDiscreteModel(DefaultDiscreteModel):
+        """Consumes a 3-step observation window (drop method)."""
+
+        @property
+        def view_requirements(self):
+            return {
+                DataKeys.OBS: ViewRequirement(
+                    shift=2, method="rolling_window"
+                )
+            }
+
+        @nn.compact
+        def __call__(self, batch):
+            w = batch[DataKeys.OBS]  # [N, shift + 1, obs_dim]
+            return super().__call__(
+                {DataKeys.OBS: w.reshape(w.shape[0], -1)}
+            )
+
+    policy = Policy(
+        Unbounded(OBS_DIM),
+        Discrete(2, shape=(1,)),
+        model_cls=WindowDiscreteModel,
+        model_config={"hiddens": (8,)},
+    )
+    assert policy.model.drop_size == 2
+    T_long = 5
+    obs = np.asarray(
+        jax.random.normal(jax.random.key(5), (B, T_long, OBS_DIM)),
+        dtype=np.float32,
+    )
+    params = policy.init_params(jax.random.key(0))
+    # Constructed directly: pickling a test-local model class is not
+    # the contract under test (export round trips are covered above).
+    model = PolicyModel(policy, params)
+    df = model.predict({DataKeys.OBS: obs})
+    assert len(df) == B * (T_long - 2)
+    direct = policy.sample(
+        params,
+        {DataKeys.OBS: obs},
+        kind="all",
+        deterministic=True,
+        return_actions=True,
+    )
+    np.testing.assert_array_equal(
+        np.stack(df[DataKeys.ACTIONS].to_list()),
+        np.asarray(direct[DataKeys.ACTIONS]),
+    )
