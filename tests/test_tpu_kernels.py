@@ -36,26 +36,39 @@ _KEYS = (
 )
 
 
-def _first_step(fused: bool, recurrent: bool, num_sgd_iters: int):
+def _first_step(fused: bool, kind: str, num_sgd_iters: int):
     from rl8_tpu import AlgorithmConfig, RecurrentAlgorithmConfig
-    from rl8_tpu.env import DiscreteDummyEnv
+    from rl8_tpu.distributions import SquashedNormal
+    from rl8_tpu.env import ContinuousDummyEnv, DiscreteDummyEnv
 
     kwargs = dict(
         num_envs=256,
         horizon=8,
         seed=13,
-        entropy_coeff=0.01,
+        # SquashedNormal has no entropy; its fused support requires the
+        # statically-zero entropy coefficient.
+        entropy_coeff=0.0 if kind == "squashed" else 0.01,
         num_sgd_iters=num_sgd_iters,
         fused_update=fused,
         fused_act=False,  # identical threefry rollouts on both paths
     )
-    if recurrent:
+    if kind == "recurrent":
         algo = RecurrentAlgorithmConfig(
             **kwargs,
             seq_len=4,
             seqs_per_state_reset=2,
             model_config={"hidden_size": 32},
         ).build(DiscreteDummyEnv)
+    elif kind in ("continuous", "squashed"):
+        algo = AlgorithmConfig(
+            **kwargs,
+            model_config={"hiddens": (32, 32)},
+            **(
+                {"distribution_cls": SquashedNormal}
+                if kind == "squashed"
+                else {}
+            ),
+        ).build(ContinuousDummyEnv)
     else:
         algo = AlgorithmConfig(
             **kwargs, model_config={"hiddens": (32, 32)}
@@ -65,10 +78,14 @@ def _first_step(fused: bool, recurrent: bool, num_sgd_iters: int):
 
 
 @requires_tpu
-@pytest.mark.parametrize("recurrent", [False, True])
-def test_fused_update_matches_autodiff_on_hardware(recurrent: bool) -> None:
+@pytest.mark.parametrize(
+    "kind", ["discrete", "recurrent", "continuous", "squashed"]
+)
+def test_fused_update_matches_autodiff_on_hardware(kind: str) -> None:
     """The Mosaic-compiled fused update kernel matches the XLA autodiff
-    path on identical rollouts.
+    path on identical rollouts, for every supported model/distribution
+    pair (discrete Categorical, recurrent, continuous Normal, and
+    SquashedNormal with static-zero entropy).
 
     With one SGD epoch (whole-buffer minibatch) the recorded losses come
     from identical parameters, so they must agree to bf16-matmul
@@ -76,15 +93,15 @@ def test_fused_update_matches_autodiff_on_hardware(recurrent: bool) -> None:
     through the optimizer, so only statistical-level agreement is
     expected there.
     """
-    fused1 = _first_step(True, recurrent, 1)
-    unfused1 = _first_step(False, recurrent, 1)
+    fused1 = _first_step(True, kind, 1)
+    unfused1 = _first_step(False, kind, 1)
     for key in _KEYS:
         assert math.isclose(
             fused1[key], unfused1[key], rel_tol=5e-3, abs_tol=5e-4
         ), (key, fused1[key], unfused1[key])
 
-    fused4 = _first_step(True, recurrent, 4)
-    unfused4 = _first_step(False, recurrent, 4)
+    fused4 = _first_step(True, kind, 4)
+    unfused4 = _first_step(False, kind, 4)
     for key in _KEYS:
         assert math.isclose(
             fused4[key], unfused4[key], rel_tol=5e-2, abs_tol=5e-3
